@@ -1,0 +1,50 @@
+"""Tiny registered test architectures (the reference's key testing trick,
+tests/models/architectures.py:33-55): miniature configs per family keep the
+full factory/transfer/serialization matrix fast on CPU."""
+
+from tfimm_tpu.architectures.vit import ViT, ViTConfig
+from tfimm_tpu.models.registry import is_model, register_model
+
+# Names of all registered tiny test models, one (or more) per family.
+TEST_ARCHITECTURES = []
+
+
+def _register_test_model(fn):
+    if not is_model(fn.__name__):
+        register_model(fn)
+    TEST_ARCHITECTURES.append(fn.__name__)
+    return fn
+
+
+@_register_test_model
+def vit_test_model():
+    cfg = ViTConfig(
+        name="vit_test_model",
+        input_size=(32, 32),
+        patch_size=8,
+        embed_dim=8,
+        nb_blocks=2,
+        nb_heads=2,
+    )
+    return ViT, cfg
+
+
+@_register_test_model
+def vit_test_model_distilled():
+    cfg = ViTConfig(
+        name="vit_test_model_distilled",
+        input_size=(32, 32),
+        patch_size=8,
+        embed_dim=8,
+        nb_blocks=2,
+        nb_heads=2,
+        distilled=True,
+        classifier=("head", "head_dist"),
+    )
+    return ViT, cfg
+
+
+# Test models with fixed input size (no variable-resolution inference).
+FIXED_SIZE_MODELS = []
+# Test models that cannot change in_channels losslessly.
+EXCLUDE_IN_CHANNELS_MODELS = []

@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py sets
+--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tfimm_tpu import create_model
+from tfimm_tpu.parallel import (
+    create_mesh,
+    infer_param_sharding,
+    make_eval_step,
+    make_train_step,
+)
+
+from tests.models.architectures import TEST_ARCHITECTURES  # noqa: F401
+
+
+def test_mesh_creation():
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["model"] == 1
+    mesh2 = create_mesh((4, 2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_param_sharding_tp_rules():
+    model = create_model("vit_test_model", embed_dim=16, nb_heads=2)
+    mesh = create_mesh((4, 2))
+    shardings = infer_param_sharding(model.params, mesh)
+    qkv = shardings["blocks"]["0"]["attn"]["qkv"]["kernel"]
+    assert qkv.spec == jax.sharding.PartitionSpec(None, "model")
+    # Non-matching params replicated.
+    assert shardings["cls_token"].spec == jax.sharding.PartitionSpec()
+
+
+def test_data_parallel_train_step():
+    model = create_model("vit_test_model")
+    mesh = create_mesh()  # 8-way data parallel
+    tx = optax.sgd(0.01)
+    opt_state = tx.init(model.params)
+    step = make_train_step(model, tx, mesh)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(16, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(16,)))
+    params, opt_state, metrics = step(model.params, opt_state,
+                                      (images, labels), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # Params changed.
+    before = model.params["head"]["kernel"]
+    after = params["head"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    # Single-device step produces the same loss (sharding is semantics-free).
+    step1 = make_train_step(model, tx, mesh=None)
+    _, _, metrics1 = step1(model.params, tx.init(model.params),
+                           (images, labels), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]),
+                               rtol=1e-5)
+
+
+def test_tensor_parallel_train_step():
+    model = create_model("vit_test_model", embed_dim=16, nb_heads=2)
+    mesh = create_mesh((2, 4))  # 2-way data x 4-way tensor parallel
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(model.params)
+    step = make_train_step(model, tx, mesh)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(4,)))
+    params, opt_state, metrics = step(model.params, opt_state,
+                                      (images, labels), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_step_sharded_matches_unsharded():
+    model = create_model("vit_test_model")
+    mesh = create_mesh()
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)), jnp.float32)
+    y_sharded = make_eval_step(model, mesh)(model.params, images)
+    y_local = make_eval_step(model)(model.params, images)
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_local),
+                               atol=1e-5)

@@ -1,0 +1,57 @@
+"""Numerical parity vs PyTorch ground truth (reference: tests/test_timm.py:38-71).
+
+timm is unavailable here, so the ground truth is an independent PyTorch
+implementation per family with timm-style state_dict keys (tests/torch_refs/).
+Random weights, fixed-seed image, fp32 CPU; tolerance matches the reference's
+CI bar (relative max error < 1e-3; we assert much tighter in practice).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tfimm_tpu import create_model  # noqa: E402
+from tfimm_tpu.utils.pt_convert import load_pt_state_dict  # noqa: E402
+
+
+def _parity(jax_model, torch_model, input_hw, in_channels=3, atol_scale=1e-5):
+    torch_model.eval()
+    load_pt_state_dict(jax_model, torch_model.state_dict())
+
+    rng = np.random.default_rng(42)
+    img = rng.uniform(-1, 1, size=(2, *input_hw, in_channels)).astype("float32")
+    with torch.no_grad():
+        pt_out = torch_model(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    jax_out = np.asarray(jax_model(jnp.asarray(img)))
+
+    assert jax_out.shape == pt_out.shape
+    scale = np.abs(pt_out).max()
+    err = np.abs(jax_out - pt_out).max()
+    assert err / max(scale, 1e-6) < 1e-3, f"rel err {err / scale:.2e}"
+    np.testing.assert_allclose(jax_out, pt_out, atol=atol_scale * max(scale, 1.0),
+                               rtol=1e-4)
+
+
+def test_vit_parity():
+    from tests.torch_refs.vit_ref import TorchViT
+
+    torch.manual_seed(0)
+    torch_model = TorchViT(input_size=64, patch_size=16, dim=64, depth=3,
+                           nb_heads=4, nb_classes=11)
+    jax_model = create_model("vit_test_model", input_size=(64, 64), patch_size=16,
+                             embed_dim=64, nb_blocks=3, nb_heads=4, nb_classes=11)
+    _parity(jax_model, torch_model, (64, 64))
+
+
+def test_vit_distilled_parity():
+    from tests.torch_refs.vit_ref import TorchViT
+
+    torch.manual_seed(1)
+    torch_model = TorchViT(input_size=32, patch_size=8, dim=32, depth=2,
+                           nb_heads=2, nb_classes=5, distilled=True)
+    jax_model = create_model("vit_test_model_distilled", patch_size=8,
+                             embed_dim=32, nb_blocks=2, nb_heads=2, nb_classes=5)
+    _parity(jax_model, torch_model, (32, 32))

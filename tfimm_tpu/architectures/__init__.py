@@ -1,0 +1,5 @@
+"""Architecture zoo. Importing this package fills the model registry
+(reference: tfimm/architectures/__init__.py:1-16). LoRA and Segment Anything
+are opt-in imports, mirroring the reference."""
+
+from tfimm_tpu.architectures.vit import *  # noqa: F401,F403

@@ -1,0 +1,66 @@
+"""EmbeddingModel: backbone + no-scale-BN embedding head for metric learning
+(reference: tfimm/models/embedding_model.py:5-47)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfimm_tpu.core import Context
+from tfimm_tpu.ops.basic import Dense
+from tfimm_tpu.ops.norm import BatchNorm
+
+__all__ = ["EmbeddingModel"]
+
+
+class EmbeddingModel:
+    """Wraps any backbone with Dense(embed_dim) -> BatchNorm(scale=False)."""
+
+    def __init__(self, backbone, embed_dim: int):
+        self.backbone = backbone
+        self.embed_dim = embed_dim
+        in_features = backbone.cfg.embed_dim if hasattr(backbone.cfg, "embed_dim") \
+            else backbone.cfg.nb_features
+        self.fc = Dense(in_features, embed_dim)
+        self.bn = BatchNorm(embed_dim, use_scale=False)
+        self.params = None
+        if backbone.params is not None:
+            self.init(0)
+
+    @property
+    def dummy_inputs(self):
+        return self.backbone.dummy_inputs
+
+    def init(self, rng=0):
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        r1, r2 = jax.random.split(rng)
+        backbone_params = (self.backbone.params
+                           if self.backbone.params is not None
+                           else self.backbone.init_params(rng))
+        self.params = {
+            "backbone": backbone_params,
+            "fc": self.fc.init(r1),
+            "bn": self.bn.init(r2),
+        }
+        return self.params
+
+    def apply(self, params, x, *, training=False, rng=None,
+              return_features=False, mutable=False):
+        ctx = Context(training=training, rng=rng, capture_features=return_features)
+        ctx.index_params(params)
+        with ctx:
+            x = self.backbone.forward_features(params["backbone"], x)
+            x = self.fc(params["fc"], x)
+            x = self.bn(params["bn"], x)
+            ctx.capture("embeddings", x)
+        results = (x,)
+        if return_features:
+            results += (ctx.features,)
+        if mutable:
+            results += (ctx.collect_state_updates() if ctx.has_state_updates else {},)
+        return results if len(results) > 1 else x
+
+    def __call__(self, x, *, params=None, **kwargs):
+        params = params if params is not None else self.params
+        return self.apply(params, x, **kwargs)

@@ -1,0 +1,56 @@
+"""Anti-aliased blur pooling (reference: tfimm/layers/blurpool.py:5-66)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BlurPool2d", "avg_pool_2d", "max_pool_2d"]
+
+
+class BlurPool2d:
+    """Fixed binomial blur kernel as a depthwise conv with REFLECT padding,
+    then stride-2 downsampling. The kernel is a constant, not a parameter."""
+
+    def __init__(self, channels: int, filter_size: int = 3, stride: int = 2):
+        self.channels = channels
+        self.filter_size = filter_size
+        self.stride = stride
+        coeffs = np.poly1d((0.5, 0.5)) ** (filter_size - 1)
+        blur_1d = np.asarray(coeffs.coeffs, dtype=np.float32)
+        blur_2d = np.outer(blur_1d, blur_1d)
+        kernel = np.tile(blur_2d[:, :, None, None], (1, 1, 1, channels))
+        self._kernel = jnp.asarray(kernel)
+        self.pad = [(filter_size - 1) // 2, (filter_size - 1) // 2 + (filter_size - 1) % 2]
+
+    def init(self, rng):
+        return {}
+
+    def __call__(self, p, x):
+        pad = self.pad
+        x = jnp.pad(x, ((0, 0), (pad[0], pad[1]), (pad[0], pad[1]), (0, 0)),
+                    mode="reflect")
+        return jax.lax.conv_general_dilated(
+            x, self._kernel.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding="VALID",
+            feature_group_count=self.channels,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def avg_pool_2d(x, window, stride=None, padding="VALID"):
+    stride = stride or window
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
+    )
+    return summed / (window * window)
+
+
+def max_pool_2d(x, window, stride=None, padding="VALID"):
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1),
+        padding,
+    )

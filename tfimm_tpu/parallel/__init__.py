@@ -1,0 +1,8 @@
+from tfimm_tpu.parallel.mesh import create_mesh  # noqa: F401
+from tfimm_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    infer_param_sharding,
+    replicated,
+    DEFAULT_TP_RULES,
+)
+from tfimm_tpu.parallel.step import make_eval_step, make_train_step  # noqa: F401

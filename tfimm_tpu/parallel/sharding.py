@@ -1,0 +1,72 @@
+"""Sharding rules: map parameter paths to PartitionSpecs.
+
+Rules are (regex, PartitionSpec) pairs matched against flattened param paths.
+DEFAULT_TP_RULES implements Megatron-style tensor parallelism for transformer
+blocks (qkv/fc1 column-parallel, proj/fc2 row-parallel over the "model" axis);
+everything else is replicated. With a size-1 "model" axis this degrades to pure
+data parallelism. XLA inserts the all-reduces implied by the shardings.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tfimm_tpu.utils.tree import flatten_params, unflatten_params
+
+__all__ = ["DEFAULT_TP_RULES", "infer_param_sharding", "batch_sharding",
+           "replicated"]
+
+# (path regex, spec builder). Specs reference the "model" axis for TP.
+DEFAULT_TP_RULES: List[Tuple[str, P]] = [
+    # Column parallel: shard the output features.
+    (r"\.attn\.qkv\.kernel$", P(None, "model")),
+    (r"\.attn\.qkv\.bias$", P("model")),
+    (r"\.mlp\.fc1\.kernel$", P(None, "model")),
+    (r"\.mlp\.fc1\.bias$", P("model")),
+    # Row parallel: shard the input features; output is all-reduced by XLA.
+    (r"\.attn\.proj\.kernel$", P("model", None)),
+    (r"\.mlp\.fc2\.kernel$", P("model", None)),
+]
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def _divisible(shape, spec, mesh) -> bool:
+    for dim, axis in zip(shape, spec):
+        if axis is None:
+            continue
+        if dim % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def infer_param_sharding(params, mesh: Mesh,
+                         rules: Sequence[Tuple[str, P]] = None):
+    """Return a pytree of NamedShardings matching ``params``.
+
+    Falls back to replication when no rule matches or the dimension does not
+    divide the mesh axis (e.g. tiny test models on an 8-way mesh).
+    """
+    rules = DEFAULT_TP_RULES if rules is None else rules
+    flat = flatten_params(params)
+    out = {}
+    for path, leaf in flat.items():
+        spec = P()
+        for pattern, candidate in rules:
+            if re.search(pattern, path):
+                if _divisible(leaf.shape, candidate, mesh):
+                    spec = candidate
+                break
+        out[path] = NamedSharding(mesh, spec)
+    return unflatten_params(out)
