@@ -2,6 +2,7 @@
 tests/models/architectures.py:33-55): miniature configs per family keep the
 full factory/transfer/serialization matrix fast on CPU."""
 
+from tfimm_tpu.architectures.resnet import ResNet, ResNetConfig
 from tfimm_tpu.architectures.vit import ViT, ViTConfig
 from tfimm_tpu.models.registry import is_model, register_model
 
@@ -42,6 +43,35 @@ def vit_test_model_distilled():
         classifier=("head", "head_dist"),
     )
     return ViT, cfg
+
+
+@_register_test_model
+def resnet_test_model():
+    cfg = ResNetConfig(
+        name="resnet_test_model",
+        input_size=(32, 32),
+        block="basic_block",
+        nb_blocks=(1, 1, 1, 1),
+        nb_channels=(4, 4, 4, 4),
+    )
+    return ResNet, cfg
+
+
+@_register_test_model
+def resnet_test_model_deep():
+    cfg = ResNetConfig(
+        name="resnet_test_model_deep",
+        input_size=(32, 32),
+        block="bottleneck",
+        nb_blocks=(1, 1, 1, 1),
+        nb_channels=(4, 4, 4, 4),
+        stem_width=4,
+        stem_type="deep",
+        downsample_mode="avg",
+        attn_layer="se",
+        first_conv="conv1.0",
+    )
+    return ResNet, cfg
 
 
 # Test models with fixed input size (no variable-resolution inference).

@@ -16,6 +16,8 @@ torch = pytest.importorskip("torch")
 from tfimm_tpu import create_model  # noqa: E402
 from tfimm_tpu.utils.pt_convert import load_pt_state_dict  # noqa: E402
 
+import tests.models.architectures  # noqa: F401, E402 (registers test models)
+
 
 def _parity(jax_model, torch_model, input_hw, in_channels=3, atol_scale=1e-5):
     torch_model.eval()
@@ -55,3 +57,26 @@ def test_vit_distilled_parity():
     jax_model = create_model("vit_test_model_distilled", patch_size=8,
                              embed_dim=32, nb_blocks=2, nb_heads=2, nb_classes=5)
     _parity(jax_model, torch_model, (32, 32))
+
+
+def test_resnet_basic_parity():
+    from tests.torch_refs.resnet_ref import BasicBlock as TB, TorchResNet
+
+    torch.manual_seed(2)
+    torch_model = TorchResNet(TB, (1, 1, 1, 1), nb_classes=7)
+    jax_model = create_model("resnet18", input_size=(64, 64),
+                             nb_blocks=(1, 1, 1, 1), nb_classes=7)
+    _parity(jax_model, torch_model, (64, 64))
+
+
+def test_resnet_bottleneck_resnext_se_parity():
+    from tests.torch_refs.resnet_ref import Bottleneck as TB, TorchResNet
+
+    torch.manual_seed(3)
+    torch_model = TorchResNet(TB, (1, 1, 1, 1), nb_classes=7, groups=4,
+                              base_width=16, downsample_mode="avg", se=True)
+    jax_model = create_model("seresnext50_32x4d", input_size=(64, 64),
+                             nb_blocks=(1, 1, 1, 1), nb_classes=7,
+                             cardinality=4, base_width=16,
+                             downsample_mode="avg")
+    _parity(jax_model, torch_model, (64, 64))
