@@ -78,3 +78,18 @@ def resnet_test_model_deep():
 FIXED_SIZE_MODELS = []
 # Test models that cannot change in_channels losslessly.
 EXCLUDE_IN_CHANNELS_MODELS = []
+
+
+from tfimm_tpu.architectures.convnext import ConvNeXt, ConvNeXtConfig  # noqa: E402
+
+
+@_register_test_model
+def convnext_test_model():
+    cfg = ConvNeXtConfig(
+        name="convnext_test_model",
+        input_size=(32, 32),
+        patch_size=4,
+        embed_dim=(4, 4, 4, 4),
+        nb_blocks=(1, 1, 1, 1),
+    )
+    return ConvNeXt, cfg

@@ -80,3 +80,15 @@ def test_resnet_bottleneck_resnext_se_parity():
                              cardinality=4, base_width=16,
                              downsample_mode="avg")
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_convnext_parity():
+    from tests.torch_refs.convnext_ref import TorchConvNeXt
+
+    torch.manual_seed(4)
+    torch_model = TorchConvNeXt(dims=(16, 32, 64, 128), depths=(1, 1, 2, 1),
+                                nb_classes=9)
+    jax_model = create_model("convnext_tiny", input_size=(64, 64),
+                             embed_dim=(16, 32, 64, 128),
+                             nb_blocks=(1, 1, 2, 1), nb_classes=9)
+    _parity(jax_model, torch_model, (64, 64))
