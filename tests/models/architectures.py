@@ -93,3 +93,60 @@ def convnext_test_model():
         nb_blocks=(1, 1, 1, 1),
     )
     return ConvNeXt, cfg
+
+
+from tfimm_tpu.architectures.convmixer import ConvMixer, ConvMixerConfig  # noqa: E402
+from tfimm_tpu.architectures.mlp_mixer import MLPMixer, MLPMixerConfig  # noqa: E402
+from tfimm_tpu.architectures.vgg import VGG, VGGConfig  # noqa: E402
+
+
+@_register_test_model
+def mixer_test_model():
+    cfg = MLPMixerConfig(
+        name="mixer_test_model", input_size=(32, 32), patch_size=8,
+        embed_dim=8, nb_blocks=2,
+    )
+    return MLPMixer, cfg
+
+
+@_register_test_model
+def resmlp_test_model():
+    cfg = MLPMixerConfig(
+        name="resmlp_test_model", input_size=(32, 32), patch_size=8,
+        embed_dim=8, nb_blocks=2, mlp_ratio=(4.0, 4.0),
+        block_layer="res_block", norm_layer="affine",
+    )
+    return MLPMixer, cfg
+
+
+@_register_test_model
+def gmlp_test_model():
+    cfg = MLPMixerConfig(
+        name="gmlp_test_model", input_size=(32, 32), patch_size=8,
+        embed_dim=8, nb_blocks=2, mlp_ratio=(6.0, 6.0),
+        block_layer="spatial_gating_block", mlp_layer="gated_mlp",
+    )
+    return MLPMixer, cfg
+
+
+@_register_test_model
+def convmixer_test_model():
+    cfg = ConvMixerConfig(
+        name="convmixer_test_model", input_size=(32, 32), patch_size=(8, 8),
+        embed_dim=8, depth=2, kernel_size=3,
+    )
+    return ConvMixer, cfg
+
+
+@_register_test_model
+def vgg_test_model():
+    cfg = VGGConfig(
+        name="vgg_test_model", input_size=(32, 32), layers=(4, "M", 4, "M"),
+        nb_features=16,
+    )
+    return VGG, cfg
+
+
+# Mixer-family models have token-dim Dense layers -> fixed input size.
+FIXED_SIZE_MODELS += ["mixer_test_model", "resmlp_test_model",
+                      "gmlp_test_model", "vgg_test_model"]

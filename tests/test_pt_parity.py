@@ -92,3 +92,25 @@ def test_convnext_parity():
                              embed_dim=(16, 32, 64, 128),
                              nb_blocks=(1, 1, 2, 1), nb_classes=9)
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_mlp_mixer_parity():
+    from tests.torch_refs.mixer_ref import TorchMixer
+
+    torch.manual_seed(5)
+    torch_model = TorchMixer(input_size=64, patch_size=8, dim=32, depth=2,
+                             nb_classes=10)
+    jax_model = create_model("mixer_s16_224", input_size=(64, 64), patch_size=8,
+                             embed_dim=32, nb_blocks=2, nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))
+
+
+def test_gmlp_parity():
+    from tests.torch_refs.mixer_ref import TorchMixer
+
+    torch.manual_seed(6)
+    torch_model = TorchMixer(input_size=64, patch_size=8, dim=32, depth=2,
+                             nb_classes=10, block="gmlp")
+    jax_model = create_model("gmlp_ti16_224", input_size=(64, 64), patch_size=8,
+                             embed_dim=32, nb_blocks=2, nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))

@@ -84,7 +84,7 @@ class GluMLP:
 
     def __call__(self, p, x):
         x = self.fc1(p["fc1"], x)
-        gates, x = jnp.split(x, 2, axis=-1)
+        x, gates = jnp.split(x, 2, axis=-1)
         x = x * self.act(gates)
         x = dropout(x, self.drop_rate)
         x = self.fc2(p["fc2"], x)
