@@ -150,3 +150,25 @@ def vgg_test_model():
 # Mixer-family models have token-dim Dense layers -> fixed input size.
 FIXED_SIZE_MODELS += ["mixer_test_model", "resmlp_test_model",
                       "gmlp_test_model", "vgg_test_model"]
+
+
+from tfimm_tpu.architectures.cait import CaiT, CaiTConfig  # noqa: E402
+from tfimm_tpu.architectures.poolformer import PoolFormer, PoolFormerConfig  # noqa: E402
+
+
+@_register_test_model
+def cait_test_model():
+    cfg = CaiTConfig(
+        name="cait_test_model", input_size=(32, 32), patch_size=8,
+        embed_dim=8, nb_blocks=2, nb_heads=2,
+    )
+    return CaiT, cfg
+
+
+@_register_test_model
+def poolformer_test_model():
+    cfg = PoolFormerConfig(
+        name="poolformer_test_model", input_size=(32, 32),
+        embed_dim=(4, 8), nb_blocks=(1, 1), mlp_ratio=(4.0, 4.0),
+    )
+    return PoolFormer, cfg

@@ -114,3 +114,26 @@ def test_gmlp_parity():
     jax_model = create_model("gmlp_ti16_224", input_size=(64, 64), patch_size=8,
                              embed_dim=32, nb_blocks=2, nb_classes=10)
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_cait_parity():
+    from tests.torch_refs.cait_ref import TorchCaiT
+
+    torch.manual_seed(7)
+    torch_model = TorchCaiT(input_size=64, patch_size=16, dim=32, depth=2,
+                            nb_heads=2, nb_classes=10)
+    jax_model = create_model("cait_xxs24_224", input_size=(64, 64),
+                             patch_size=16, embed_dim=32, nb_blocks=2,
+                             nb_heads=2, nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))
+
+
+def test_poolformer_parity():
+    from tests.torch_refs.poolformer_ref import TorchPoolFormer
+
+    torch.manual_seed(8)
+    torch_model = TorchPoolFormer(dims=(16, 32), depths=(1, 1), nb_classes=10)
+    jax_model = create_model("poolformer_s12", input_size=(64, 64),
+                             embed_dim=(16, 32), nb_blocks=(1, 1),
+                             mlp_ratio=(4.0, 4.0), nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))

@@ -2,7 +2,9 @@
 (reference: tfimm/architectures/__init__.py:1-16). LoRA and Segment Anything
 are opt-in imports, mirroring the reference."""
 
+from tfimm_tpu.architectures.cait import *  # noqa: F401,F403
 from tfimm_tpu.architectures.convmixer import *  # noqa: F401,F403
+from tfimm_tpu.architectures.poolformer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.convnext import *  # noqa: F401,F403
 from tfimm_tpu.architectures.mlp_mixer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.resnet import *  # noqa: F401,F403

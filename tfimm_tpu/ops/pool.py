@@ -48,6 +48,21 @@ def avg_pool_2d(x, window, stride=None, padding="VALID"):
     return summed / (window * window)
 
 
+def avg_pool_2d_exclude_pad(x, window, stride=1):
+    """SAME avg pool that excludes padding from the divisor (PyTorch
+    count_include_pad=False / Keras 'same' semantics)."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        "SAME",
+    )
+    ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        "SAME",
+    )
+    return summed / counts
+
+
 def max_pool_2d(x, window, stride=None, padding="VALID"):
     stride = stride or window
     return jax.lax.reduce_window(
