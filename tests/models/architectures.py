@@ -172,3 +172,18 @@ def poolformer_test_model():
         embed_dim=(4, 8), nb_blocks=(1, 1), mlp_ratio=(4.0, 4.0),
     )
     return PoolFormer, cfg
+
+
+from tfimm_tpu.architectures.swin import SwinTransformer, SwinTransformerConfig  # noqa: E402
+
+
+@_register_test_model
+def swin_test_model():
+    cfg = SwinTransformerConfig(
+        name="swin_test_model", input_size=(32, 32), patch_size=4,
+        embed_dim=4, nb_blocks=(1, 1), nb_heads=(2, 4), window_size=4,
+    )
+    return SwinTransformer, cfg
+
+
+FIXED_SIZE_MODELS += ["swin_test_model"]

@@ -137,3 +137,15 @@ def test_poolformer_parity():
                              embed_dim=(16, 32), nb_blocks=(1, 1),
                              mlp_ratio=(4.0, 4.0), nb_classes=10)
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_swin_parity():
+    from tests.torch_refs.swin_ref import TorchSwin
+
+    torch.manual_seed(9)
+    torch_model = TorchSwin(input_size=32, patch_size=4, dim=16, depths=(2, 2),
+                            nb_heads=(2, 4), ws=4, nb_classes=10)
+    jax_model = create_model("swin_tiny_patch4_window7_224", input_size=(32, 32),
+                             patch_size=4, embed_dim=16, nb_blocks=(2, 2),
+                             nb_heads=(2, 4), window_size=4, nb_classes=10)
+    _parity(jax_model, torch_model, (32, 32))

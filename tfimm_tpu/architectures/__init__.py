@@ -8,5 +8,6 @@ from tfimm_tpu.architectures.poolformer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.convnext import *  # noqa: F401,F403
 from tfimm_tpu.architectures.mlp_mixer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.resnet import *  # noqa: F401,F403
+from tfimm_tpu.architectures.swin import *  # noqa: F401,F403
 from tfimm_tpu.architectures.vgg import *  # noqa: F401,F403
 from tfimm_tpu.architectures.vit import *  # noqa: F401,F403
