@@ -187,3 +187,63 @@ def swin_test_model():
 
 
 FIXED_SIZE_MODELS += ["swin_test_model"]
+
+
+from tfimm_tpu.architectures.pit import (  # noqa: E402
+    PoolingVisionTransformer, PoolingVisionTransformerConfig)
+from tfimm_tpu.architectures.pvt import (  # noqa: E402
+    PyramidVisionTransformer, PyramidVisionTransformerConfig)
+from tfimm_tpu.architectures.pvt_v2 import (  # noqa: E402
+    PyramidVisionTransformerV2, PyramidVisionTransformerV2Config)
+from tfimm_tpu.architectures.resnetv2 import ResNetV2, ResNetV2Config  # noqa: E402
+from tfimm_tpu.architectures.vit import ViT as _ViT, ViTConfig as _ViTConfig  # noqa: E402
+
+
+@_register_test_model
+def pvt_test_model():
+    cfg = PyramidVisionTransformerConfig(
+        name="pvt_test_model", input_size=(32, 32), patch_size=(4, 2, 2, 2),
+        embed_dim=(4, 4, 4, 4), nb_blocks=(1, 1, 1, 1), nb_heads=(1, 1, 1, 1),
+        mlp_ratio=(2.0, 2.0, 2.0, 2.0), sr_ratio=(4, 2, 2, 1),
+    )
+    return PyramidVisionTransformer, cfg
+
+
+@_register_test_model
+def pvt_v2_test_model():
+    cfg = PyramidVisionTransformerV2Config(
+        name="pvt_v2_test_model", input_size=(32, 32),
+        embed_dim=(4, 4, 4, 4), nb_blocks=(1, 1, 1, 1), nb_heads=(1, 1, 1, 1),
+        mlp_ratio=(2.0, 2.0, 2.0, 2.0), sr_ratio=(4, 2, 2, 1),
+    )
+    return PyramidVisionTransformerV2, cfg
+
+
+@_register_test_model
+def pit_test_model():
+    cfg = PoolingVisionTransformerConfig(
+        name="pit_test_model", input_size=(32, 32), patch_size=4, stride=4,
+        embed_dim=(4, 8), nb_blocks=(1, 1), nb_heads=(2, 2),
+    )
+    return PoolingVisionTransformer, cfg
+
+
+@_register_test_model
+def resnetv2_test_model():
+    cfg = ResNetV2Config(
+        name="resnetv2_test_model", input_size=(32, 32),
+        nb_blocks=(1, 1), nb_channels=(8, 8), stem_width=8,
+        norm_layer="group_norm_1grp",
+    )
+    return ResNetV2, cfg
+
+
+@_register_test_model
+def vit_hybrid_test_model():
+    cfg = _ViTConfig(
+        name="vit_hybrid_test_model", input_size=(32, 32),
+        patch_layer="hybrid_embeddings", patch_nb_blocks=(1, 1), patch_size=1,
+        embed_dim=8, nb_blocks=1, nb_heads=2,
+        first_conv="patch_embed.backbone.stem.conv",
+    )
+    return _ViT, cfg

@@ -149,3 +149,29 @@ def test_swin_parity():
                              patch_size=4, embed_dim=16, nb_blocks=(2, 2),
                              nb_heads=(2, 4), window_size=4, nb_classes=10)
     _parity(jax_model, torch_model, (32, 32))
+
+
+def test_pvt_v2_parity():
+    from tests.torch_refs.pvt_ref import TorchPVTv2
+
+    torch.manual_seed(10)
+    torch_model = TorchPVTv2(dims=(8, 16), depths=(1, 1), heads=(1, 2),
+                             sr=(4, 2), mlp_ratio=(2.0, 2.0), nb_classes=10)
+    jax_model = create_model("pvt_v2_b0", input_size=(64, 64),
+                             embed_dim=(8, 16), nb_blocks=(1, 1),
+                             nb_heads=(1, 2), sr_ratio=(4, 2),
+                             mlp_ratio=(2.0, 2.0), nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))
+
+
+def test_resnetv2_parity():
+    from tests.torch_refs.resnetv2_ref import TorchResNetV2
+
+    torch.manual_seed(11)
+    torch_model = TorchResNetV2(channels=(8, 16), depths=(1, 1), stem_width=8,
+                                nb_classes=10)
+    jax_model = create_model("resnetv2_50x1_bitm", input_size=(64, 64),
+                             nb_blocks=(1, 1), nb_channels=(8, 16),
+                             stem_width=8, norm_layer="group_norm_1grp",
+                             nb_classes=10)
+    _parity(jax_model, torch_model, (64, 64))
