@@ -247,3 +247,30 @@ def vit_hybrid_test_model():
         first_conv="patch_embed.backbone.stem.conv",
     )
     return _ViT, cfg
+
+
+from tfimm_tpu.architectures.efficientnet import EfficientNet, EfficientNetConfig  # noqa: E402
+
+
+@_register_test_model
+def efficientnet_test_model():
+    cfg = EfficientNetConfig(
+        name="efficientnet_test_model", input_size=(32, 32), stem_size=8,
+        nb_features=16,
+        architecture=(("ds_r1_k3_s1_e1_c8_se0.25",),
+                      ("ir_r1_k3_s2_e4_c16_se0.25",),
+                      ("er_r1_k3_s2_e4_c16",)),
+    )
+    return EfficientNet, cfg
+
+
+@_register_test_model
+def efficientnet_tf_test_model():
+    cfg = EfficientNetConfig(
+        name="efficientnet_tf_test_model", input_size=(32, 32), stem_size=8,
+        nb_features=16, padding="same", norm_layer="batch_norm_tf",
+        architecture=(("cn_r1_k3_s1_e1_c8_skip",),
+                      ("er_r1_k3_s2_e4_c16",),
+                      ("ir_r1_k3_s2_e4_c16_se0.25",)),
+    )
+    return EfficientNet, cfg

@@ -175,3 +175,17 @@ def test_resnetv2_parity():
                              stem_width=8, norm_layer="group_norm_1grp",
                              nb_classes=10)
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_efficientnet_parity():
+    from tests.torch_refs.efficientnet_ref import TorchEfficientNet
+
+    torch.manual_seed(12)
+    torch_model = TorchEfficientNet(nb_classes=10)
+    jax_model = create_model("pt_efficientnet_b0", input_size=(64, 64),
+                             stem_size=8, nb_features=32, nb_classes=10,
+                             drop_rate=0.0, drop_path_rate=0.0,
+                             architecture=(("ds_r1_k3_s1_e1_c8_se0.25",),
+                                           ("ir_r1_k3_s2_e4_c16_se0.25",),
+                                           ("er_r1_k3_s2_e4_c16",)))
+    _parity(jax_model, torch_model, (64, 64))

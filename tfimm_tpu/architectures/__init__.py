@@ -5,6 +5,7 @@ are opt-in imports, mirroring the reference."""
 from tfimm_tpu.architectures.cait import *  # noqa: F401,F403
 from tfimm_tpu.architectures.convmixer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.poolformer import *  # noqa: F401,F403
+from tfimm_tpu.architectures.efficientnet import *  # noqa: F401,F403
 from tfimm_tpu.architectures.convnext import *  # noqa: F401,F403
 from tfimm_tpu.architectures.mlp_mixer import *  # noqa: F401,F403
 from tfimm_tpu.architectures.pit import *  # noqa: F401,F403
