@@ -70,20 +70,22 @@ class Model:
         return_features: bool = False,
         mutable: bool = False,
         features_only: bool = False,
+        **forward_kwargs,
     ):
         """Pure functional forward pass.
 
         Returns ``out`` by default. With ``return_features=True`` returns
         ``(out, features)``; with ``mutable=True`` additionally appends the
         batch-stat update tree: ``(out, updates)`` / ``(out, features, updates)``.
+        Extra kwargs are passed to ``forward`` (e.g. SAM's multimask_output).
         """
         ctx = Context(training=training, rng=rng, capture_features=return_features)
         ctx.index_params(params)
         with ctx:
             if features_only:
-                out = self.forward_features(params, x)
+                out = self.forward_features(params, x, **forward_kwargs)
             else:
-                out = self.forward(params, x)
+                out = self.forward(params, x, **forward_kwargs)
         results = (out,)
         if return_features:
             results += (ctx.features,)
