@@ -1,0 +1,114 @@
+"""Datasets for the training framework (reference: tfimm/train/datasets/tfds.py).
+
+- ``TFDSWrapper``: tensorflow_datasets pipeline (optional dependency, gated).
+- ``ArrayDataset``: in-memory numpy dataset — the dependency-free path used by
+  tests and small examples; shuffles, batches and resizes per epoch.
+
+For large-scale TPU input pipelines, shard per host and feed device batches;
+both wrappers yield host numpy batches that the jitted step moves to device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tfimm_tpu.train.registry import cfg_serializable
+
+__all__ = ["TFDSConfig", "TFDSWrapper", "ArrayDatasetConfig", "ArrayDataset"]
+
+
+@dataclass
+class TFDSConfig:
+    dataset_name: str = ""
+    split: str = "train"
+    input_size: tuple = ()
+    batch_size: int = 32
+    repeat: bool = False
+    shuffle: bool = True
+    nb_samples: int = -1
+    cache: bool = True
+
+
+@cfg_serializable
+class TFDSWrapper:
+    cfg_class = TFDSConfig
+
+    def __init__(self, cfg: TFDSConfig):
+        try:
+            import tensorflow as tf  # noqa: F401
+            import tensorflow_datasets as tfds  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "TFDSWrapper requires tensorflow and tensorflow_datasets; "
+                "use ArrayDataset for a dependency-free pipeline."
+            ) from e
+        self.cfg = cfg
+
+    def __iter__(self):
+        import tensorflow as tf
+        import tensorflow_datasets as tfds
+
+        cfg = self.cfg
+        ds = tfds.load(cfg.dataset_name, split=cfg.split, as_supervised=True)
+        if cfg.nb_samples != -1:
+            ds = ds.take(cfg.nb_samples)
+        if cfg.cache:
+            ds = ds.cache()
+        if cfg.shuffle:
+            ds = ds.shuffle(10 * cfg.batch_size)
+        if cfg.repeat:
+            ds = ds.repeat()
+        if cfg.input_size:
+            ds = ds.map(lambda x, y: (tf.image.resize(x, cfg.input_size), y))
+        ds = ds.batch(cfg.batch_size, drop_remainder=True)
+        ds = ds.prefetch(tf.data.AUTOTUNE)
+        for images, labels in ds.as_numpy_iterator():
+            yield images, labels
+
+
+@dataclass
+class ArrayDatasetConfig:
+    batch_size: int = 32
+    shuffle: bool = True
+    seed: int = 0
+    input_size: tuple = ()
+
+
+@cfg_serializable
+class ArrayDataset:
+    """In-memory (images, labels) dataset yielding numpy batches."""
+
+    cfg_class = ArrayDatasetConfig
+
+    def __init__(self, cfg: ArrayDatasetConfig,
+                 data: Optional[Tuple[np.ndarray, np.ndarray]] = None):
+        self.cfg = cfg
+        if data is None:
+            raise ValueError("ArrayDataset requires data=(images, labels)")
+        self.images, self.labels = data
+        self._rng = np.random.default_rng(cfg.seed)
+
+    def __len__(self):
+        return len(self.images) // self.cfg.batch_size
+
+    def __iter__(self):
+        idx = np.arange(len(self.images))
+        if self.cfg.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.cfg.batch_size
+        for i in range(len(self.images) // bs):
+            batch = idx[i * bs:(i + 1) * bs]
+            images = self.images[batch]
+            if self.cfg.input_size and images.shape[1:3] != tuple(
+                    self.cfg.input_size):
+                import jax
+
+                images = np.asarray(jax.image.resize(
+                    images.astype(np.float32),
+                    (len(batch), *self.cfg.input_size, images.shape[-1]),
+                    method="bilinear",
+                ))
+            yield images, self.labels[batch]

@@ -1,0 +1,151 @@
+"""Classification problem (reference: tfimm/train/problems/classification.py).
+
+TPU adaptation: the inner step is a jit-compiled, optionally mesh-sharded
+function (forward in bf16 if mixed_precision, float32 softmax CE + optional
+L2 weight decay, backward, optax update, BN-stat merge). No loss scaling is
+needed for bf16. ``save_model`` exports via tfimm_tpu.save_model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tfimm_tpu.parallel import make_train_step
+from tfimm_tpu.parallel.step import cross_entropy_loss, merge_state_updates
+from tfimm_tpu.train.interface import ProblemBase
+from tfimm_tpu.train.registry import cfg_serializable, get_class
+
+__all__ = ["ClassificationConfig", "ClassificationProblem"]
+
+
+@dataclass
+class ClassificationConfig:
+    model: Any = None
+    model_class: str = ""
+    optimizer: Any = None
+    optimizer_class: str = ""
+    # Whether to use binary crossentropy (single-logit sigmoid) for 2 classes
+    binary_loss: bool = False
+    weight_decay: float = 0.0
+    label_smoothing: float = 0.0
+    mixed_precision: bool = False  # bf16 compute on TPU
+    # Set by the experiment runner
+    timekeeping: Any = None
+    timekeeping_class: str = ""
+
+
+@cfg_serializable
+class ClassificationProblem(ProblemBase):
+    cfg_class = ClassificationConfig
+
+    def __init__(self, cfg: ClassificationConfig, timekeeping=None, mesh=None):
+        self.cfg = cfg
+        self.timekeeping = timekeeping or cfg.timekeeping
+        self.mesh = mesh
+
+        factory = get_class(cfg.model_class)(cfg=cfg.model)
+        self.model, self.preprocessing = factory()
+        opt_factory = get_class(cfg.optimizer_class)(
+            cfg=cfg.optimizer, timekeeping=self.timekeeping,
+            mixed_precision=cfg.mixed_precision,
+        )
+        self.tx, self.lr_schedule = opt_factory()
+        self.params = self.model.params
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+        self._rng = jax.random.PRNGKey(0)
+
+        def loss_fn(logits, labels):
+            if cfg.binary_loss:
+                logits = logits[..., 0].astype(jnp.float32)
+                return optax.sigmoid_binary_cross_entropy(
+                    logits, labels.astype(jnp.float32)).mean()
+            return cross_entropy_loss(logits, labels,
+                                      label_smoothing=cfg.label_smoothing)
+
+        compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
+        model = self.model
+        preprocessing = self.preprocessing
+
+        def wrapped_model_apply(params, images, training, rng, mutable):
+            x = preprocessing(images)
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+            return model.apply(params, x, training=training, rng=rng,
+                               mutable=mutable)
+
+        # Reuse the sharded-step machinery with our preprocessing baked in.
+        shim = _ModelShim(wrapped_model_apply, model)
+        self._train_step = make_train_step(
+            shim, self.tx, mesh=self.mesh, loss_fn=loss_fn,
+            weight_decay=cfg.weight_decay,
+        )
+        self._eval_step = jax.jit(
+            lambda params, images: model.apply(params, preprocessing(images),
+                                               training=False)
+        )
+
+    # -- ProblemBase ------------------------------------------------------------
+    def train_step(self, data, it: int):
+        images, labels = data
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, (jnp.asarray(images),
+                                          jnp.asarray(labels)), step_rng,
+        )
+        self.model.params = self.params
+        logs = {"train/loss": float(metrics["loss"]),
+                "train/accuracy": float(metrics["accuracy"])}
+        return float(metrics["loss"]), logs
+
+    def validation(self, dataset):
+        correct, total, loss_sum = 0, 0, 0.0
+        for images, labels in dataset:
+            logits = np.asarray(self._eval_step(self.params,
+                                                jnp.asarray(images)))
+            if logits.ndim == 3:
+                logits = logits.mean(axis=1)
+            preds = logits.argmax(-1)
+            correct += int((preds == np.asarray(labels)).sum())
+            total += len(labels)
+        return {"val/accuracy": correct / max(total, 1)}
+
+    @property
+    def state(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "epoch": self.epoch}
+
+    def set_state(self, state, model_only: bool = False):
+        self.params = state["params"]
+        self.model.params = self.params
+        if not model_only:
+            self.opt_state = state["opt_state"]
+            self.epoch = int(state["epoch"])
+
+    def start_epoch(self):
+        pass
+
+    def save_model(self, save_dir: str):
+        from tfimm_tpu.models.serialization import save_model
+
+        self.model.params = self.params
+        save_model(self.model, save_dir)
+
+
+class _ModelShim:
+    """Adapts a custom apply function to the interface make_train_step expects."""
+
+    def __init__(self, apply_fn, model):
+        self._apply_fn = apply_fn
+        self.params = model.params
+        self.cfg = model.cfg
+
+    def apply(self, params, x, training=False, rng=None, mutable=False):
+        return self._apply_fn(params, x, training, rng, mutable)
