@@ -64,3 +64,49 @@ class EmbeddingModel:
     def __call__(self, x, *, params=None, **kwargs):
         params = params if params is not None else self.params
         return self.apply(params, x, **kwargs)
+
+    # -- serialization (custom: nests the backbone config) ----------------------
+    def save(self, path: str) -> None:
+        import dataclasses
+        import json
+        import os
+
+        import numpy as np
+
+        from tfimm_tpu.utils.tree import flatten_params
+
+        os.makedirs(path, exist_ok=True)
+        payload = {
+            "class_name": "EmbeddingModel",
+            "embed_dim": self.embed_dim,
+            "backbone_class": type(self.backbone).__name__,
+            "backbone_config": dataclasses.asdict(self.backbone.cfg),
+        }
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(payload, f, indent=2, default=str)
+        flat = {k: np.asarray(v) for k, v in flatten_params(self.params).items()}
+        np.savez(os.path.join(path, "params.npz"), **flat)
+
+    @classmethod
+    def load(cls, path: str) -> "EmbeddingModel":
+        import json
+        import os
+
+        import numpy as np
+
+        import tfimm_tpu.architectures  # noqa: F401
+        from tfimm_tpu.models.registry import architecture_class
+        from tfimm_tpu.models.serialization import _tuplify
+        from tfimm_tpu.utils.tree import unflatten_params
+
+        with open(os.path.join(path, "config.json")) as f:
+            payload = json.load(f)
+        backbone_cls = architecture_class(payload["backbone_class"])
+        cfg_kwargs = {k: _tuplify(v) for k, v in payload["backbone_config"].items()}
+        backbone = backbone_cls(backbone_cls.cfg_class(**cfg_kwargs))
+        model = cls(backbone, payload["embed_dim"])
+        with np.load(os.path.join(path, "params.npz")) as data:
+            model.params = unflatten_params(
+                {k: jnp.asarray(data[k]) for k in data.files})
+        model.backbone.params = model.params["backbone"]
+        return model
