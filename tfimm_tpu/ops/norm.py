@@ -51,8 +51,12 @@ class LayerNorm:
     def __call__(self, p, x):
         dtype = x.dtype
         x32 = x.astype(jnp.float32)
+        # One-pass variance (E[x^2] - E[x]^2): halves the reduction passes over
+        # HBM vs the two-pass form; f32 accumulation keeps it stable for the
+        # activation magnitudes seen in these models.
         mean = x32.mean(axis=-1, keepdims=True)
-        var = jnp.square(x32 - mean).mean(axis=-1, keepdims=True)
+        mean2 = jnp.square(x32).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         if self.use_scale:
             y = y * p["scale"].astype(jnp.float32)
