@@ -101,3 +101,18 @@ def test_to_dict_format():
     d = to_dict_format(cfg)
     assert d["inner"]["units"] == 4
     assert isinstance(d["inner"], dict)
+
+
+def test_grain_dataset():
+    import numpy as np
+
+    from tfimm_tpu.train.datasets import GrainDataset, GrainDatasetConfig
+
+    rng = np.random.default_rng(0)
+    source = [(rng.uniform(size=(8, 8, 3)).astype("float32"), i % 3)
+              for i in range(20)]
+    ds = GrainDataset(GrainDatasetConfig(batch_size=4), source=source)
+    batches = list(ds)
+    assert len(batches) == 5
+    assert batches[0][0].shape == (4, 8, 8, 3)
+    assert batches[0][1].shape == (4,)

@@ -110,3 +110,23 @@ def model_entrypoint(name: str) -> Tuple[type, object]:
 def architecture_class(class_name: str) -> Optional[type]:
     """Look up an architecture class by its Python class name (serialization)."""
     return _class_by_name.get(class_name)
+
+
+def compare_available_models_with_timm(name_filter: str = "") -> dict:
+    """Compare our registered pretrained models with timm's
+    (reference: tfimm/models/registry.py `_compare_available_models_with_timm`).
+    Requires the optional timm package; returns {"ours_only", "timm_only",
+    "common"} name sets."""
+    import timm  # optional dependency
+
+    ours = set()
+    for name in list_models(name_filter, pretrained=True):
+        url = _model_config[name].url
+        if url.startswith("[timm]"):
+            ours.add(url[len("[timm]"):] or name)
+    timm_models = set(timm.list_models(name_filter or "*", pretrained=True))
+    return {
+        "ours_only": sorted(ours - timm_models),
+        "timm_only": sorted(timm_models - ours),
+        "common": sorted(ours & timm_models),
+    }

@@ -14,6 +14,8 @@ from tfimm_tpu.train.config import (  # noqa: F401
 from tfimm_tpu.train.datasets import (  # noqa: F401
     ArrayDataset,
     ArrayDatasetConfig,
+    GrainDataset,
+    GrainDatasetConfig,
     TFDSConfig,
     TFDSWrapper,
 )

@@ -70,6 +70,52 @@ class TFDSWrapper:
 
 
 @dataclass
+class GrainDatasetConfig:
+    batch_size: int = 32
+    shuffle: bool = True
+    seed: int = 0
+    nb_epochs: int = 1
+    worker_count: int = 0
+
+
+@cfg_serializable
+class GrainDataset:
+    """Per-host sharded input pipeline built on grain (the TPU-native data
+    loader). Wraps any random-access source of (image, label) records; shards
+    across JAX processes so each host feeds only its local devices."""
+
+    cfg_class = GrainDatasetConfig
+
+    def __init__(self, cfg: GrainDatasetConfig, source=None):
+        import grain
+
+        if source is None:
+            raise ValueError("GrainDataset requires a random-access source")
+        self.cfg = cfg
+        self._grain = grain
+        self.source = source
+
+    def __iter__(self):
+        import jax
+
+        grain = self._grain
+        ds = grain.MapDataset.source(self.source)
+        if self.cfg.shuffle:
+            ds = ds.shuffle(seed=self.cfg.seed)
+        # Shard across hosts: each process reads a disjoint slice.
+        ds = ds[jax.process_index()::jax.process_count()]
+        ds = ds.batch(self.cfg.batch_size, drop_remainder=True)
+        it = ds.to_iter_dataset()
+        if self.cfg.worker_count:
+            it = it.mp_prefetch(grain.MultiprocessingOptions(
+                num_workers=self.cfg.worker_count))
+        for batch in it:
+            images, labels = zip(*batch) if isinstance(batch, list) else (
+                batch[0], batch[1])
+            yield np.asarray(images), np.asarray(labels)
+
+
+@dataclass
 class ArrayDatasetConfig:
     batch_size: int = 32
     shuffle: bool = True
