@@ -98,3 +98,17 @@ def test_embedding_model_save_load(tmp_path):
     loaded = EmbeddingModel.load(str(tmp_path / "emb"))
     np.testing.assert_allclose(np.asarray(loaded(x)), np.asarray(emb),
                                atol=1e-6)
+
+
+def test_export_model_roundtrip(tmp_path):
+    from tfimm_tpu.utils.export import export_model, load_exported
+
+    model = create_model("vit_test_model", nb_classes=7)
+    path = str(tmp_path / "model.stablehlo")
+    export_model(model, path, batch_size=2, normalize_logits=True)
+    exported = load_exported(path)
+    img = np.random.default_rng(0).uniform(0, 255, size=(2, 32, 32, 3))
+    out = np.asarray(exported(img))
+    assert out.shape == (2, 7)
+    # normalized logits: logsumexp == 0
+    np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, rtol=1e-5)

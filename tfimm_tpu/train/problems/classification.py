@@ -133,10 +133,25 @@ class ClassificationProblem(ProblemBase):
         pass
 
     def save_model(self, save_dir: str):
+        """Export both the parameter checkpoint and a deployment inference
+        artifact (preprocessing + forward + normalized logits, f32), the
+        jax.export analog of the reference's inference SavedModel
+        (classification.py:202-247)."""
+        import os
+
         from tfimm_tpu.models.serialization import save_model
+        from tfimm_tpu.utils.export import export_model
 
         self.model.params = self.params
         save_model(self.model, save_dir)
+        try:
+            export_model(self.model, os.path.join(save_dir, "model.stablehlo"),
+                         preprocessing=self.preprocessing,
+                         normalize_logits=True)
+        except Exception as e:  # polymorphic export can fail for exotic models
+            import logging
+
+            logging.warning(f"jax.export deployment artifact failed: {e}")
 
 
 class _ModelShim:
