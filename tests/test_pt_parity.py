@@ -189,3 +189,16 @@ def test_efficientnet_parity():
                                            ("ir_r1_k3_s2_e4_c16_se0.25",),
                                            ("er_r1_k3_s2_e4_c16",)))
     _parity(jax_model, torch_model, (64, 64))
+
+
+def test_pit_parity():
+    from tests.torch_refs.pit_ref import TorchPiT
+
+    torch.manual_seed(13)
+    torch_model = TorchPiT(input_size=32, patch_size=4, stride=4,
+                           dims=(8, 16), depths=(1, 1), heads=(2, 2),
+                           nb_classes=10)
+    jax_model = create_model("pit_ti_224", input_size=(32, 32), patch_size=4,
+                             stride=4, embed_dim=(8, 16), nb_blocks=(1, 1),
+                             nb_heads=(2, 2), nb_classes=10)
+    _parity(jax_model, torch_model, (32, 32))
