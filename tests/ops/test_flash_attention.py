@@ -31,3 +31,37 @@ def test_flash_custom_scale():
     ref, _ = _reference_attention(q, q, q, scale=0.5)
     out = flash_attention(q, q, q, scale=0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_relpos_matches_reference():
+    """Fused decomposed-rel-pos kernel vs the SAM XLA path (interpret mode)."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+        get_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import flash_attention_relpos
+
+    rng = np.random.default_rng(0)
+    b, gh, gw, d = 3, 8, 16, 32
+    n = gh * gw
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+               for _ in range(3))
+    rel_pos_h = jnp.asarray(rng.normal(size=(2 * gh - 1, d)), jnp.float32)
+    rel_pos_w = jnp.asarray(rng.normal(size=(2 * gw - 1, d)), jnp.float32)
+    scale = d ** -0.5
+
+    attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (gh, gw),
+                                  (gh, gw), False)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+
+    r_h = get_rel_pos(gh, gh, rel_pos_h, False)
+    r_w = get_rel_pos(gw, gw, rel_pos_w, False)
+    qg = q.reshape(b, gh, gw, d)
+    rh_term = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+    rw_term = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+    out = flash_attention_relpos(q, k, v, rh_term, rw_term,
+                                 grid_size=(gh, gw), scale=scale,
+                                 block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfimm_tpu.architectures.segment_anything.common import MLPBlock
-from tfimm_tpu.core import capture_feature
+from tfimm_tpu.core import capture_feature, current_context
 from tfimm_tpu.ops import Conv2d, Dense, PatchEmbeddings, norm_layer_factory
 from tfimm_tpu.ops.stochastic import drop_path, dropout
 
@@ -112,6 +112,21 @@ class RelPosAttention:
             p["rel_pos_w"] = jnp.zeros((2 * w - 1, self.head_dim))
         return p
 
+    def _use_flash_kernel(self, h, w):
+        import os
+
+        if os.environ.get("TFIMM_TPU_NO_FLASH", "0") == "1":
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        # Global attention at SAM scale (>= 1024 tokens): the XLA path
+        # materializes (heads, N, N) scores + bias — the fused kernel keeps
+        # everything in VMEM. Key blocks must cover whole key-grid rows.
+        return (on_tpu and self.use_rel_pos and h * w >= 1024
+                and (h * w) % 512 == 0 and 512 % w == 0)
+
     def __call__(self, p, x):
         n, h, w, c = x.shape
         qkv = self.qkv(p["qkv"], x)
@@ -119,15 +134,37 @@ class RelPosAttention:
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, n * self.nb_heads,
                                                    h * w, self.head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * self.scale
-        if self.use_rel_pos:
-            attn = add_decomposed_rel_pos(
-                attn, q.astype(jnp.float32), p["rel_pos_h"], p["rel_pos_w"],
-                (h, w), (h, w), interpolate_pos=not self.fixed_input_size,
+
+        if self._use_flash_kernel(h, w) and not (
+                current_context().training and self.attn_drop_rate > 0.0):
+            from tfimm_tpu.ops.pallas.flash_attention_relpos import (
+                flash_attention_relpos,
             )
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = dropout(attn, self.attn_drop_rate)
-        out = jnp.einsum("bqk,bkd->bqd", attn, v)
+
+            r_h = get_rel_pos(h, h, p["rel_pos_h"],
+                              not self.fixed_input_size)
+            r_w = get_rel_pos(w, w, p["rel_pos_w"],
+                              not self.fixed_input_size)
+            qg = q.reshape(-1, h, w, self.head_dim)
+            rh_term = jnp.einsum("bhwc,hkc->bhwk", qg,
+                                 r_h.astype(q.dtype)).reshape(-1, h * w, h)
+            rw_term = jnp.einsum("bhwc,wkc->bhwk", qg,
+                                 r_w.astype(q.dtype)).reshape(-1, h * w, w)
+            out = flash_attention_relpos(q, k, v, rh_term, rw_term,
+                                         grid_size=(h, w), scale=self.scale)
+        else:
+            attn = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32)
+            attn = attn * self.scale
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(
+                    attn, q.astype(jnp.float32), p["rel_pos_h"],
+                    p["rel_pos_w"], (h, w), (h, w),
+                    interpolate_pos=not self.fixed_input_size,
+                )
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = dropout(attn, self.attn_drop_rate)
+            out = jnp.einsum("bqk,bkd->bqd", attn, v)
+
         out = out.reshape(n, self.nb_heads, h, w, self.head_dim)
         out = out.transpose(0, 2, 3, 1, 4).reshape(n, h, w, c)
         out = self.proj(p["proj"], out)
