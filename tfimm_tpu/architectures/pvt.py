@@ -139,7 +139,8 @@ class SpatialReductionAttention:
         kv = kv.transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * self.scale, k)
+        scale = jnp.asarray(self.scale, q.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = dropout(attn, self.attn_drop_rate)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)

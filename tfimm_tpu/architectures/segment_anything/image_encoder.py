@@ -83,7 +83,7 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size,
     rel_h = jnp.einsum("nhwc,hkc->nhwk", q_grid, r_h.astype(q.dtype))
     rel_w = jnp.einsum("nhwc,wkc->nhwk", q_grid, r_w.astype(q.dtype))
     attn = attn.reshape(n, q_h, q_w, k_h, k_w)
-    attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+    attn = attn + (rel_h[..., :, None] + rel_w[..., None, :]).astype(attn.dtype)
     return attn.reshape(n, q_h * q_w, k_h * k_w)
 
 
@@ -153,15 +153,17 @@ class RelPosAttention:
             out = flash_attention_relpos(q, k, v, rh_term, rw_term,
                                          grid_size=(h, w), scale=self.scale)
         else:
-            attn = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32)
-            attn = attn * self.scale
+            # Scores stored in compute dtype; softmax math in f32 (see
+            # ops/attention.py for rationale/measurements).
+            scale = jnp.asarray(self.scale, q.dtype)
+            attn = jnp.einsum("bqd,bkd->bqk", q * scale, k)
             if self.use_rel_pos:
                 attn = add_decomposed_rel_pos(
-                    attn, q.astype(jnp.float32), p["rel_pos_h"],
-                    p["rel_pos_w"], (h, w), (h, w),
+                    attn, q, p["rel_pos_h"], p["rel_pos_w"], (h, w), (h, w),
                     interpolate_pos=not self.fixed_input_size,
                 )
-            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
             attn = dropout(attn, self.attn_drop_rate)
             out = jnp.einsum("bqk,bkd->bqd", attn, v)
 

@@ -157,17 +157,18 @@ class WindowAttention:
         qkv = qkv.transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * self.scale, k)
-        attn = attn.astype(jnp.float32)
+        scale = jnp.asarray(self.scale, q.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
         bias = p["relative_position_bias_table"][
             self.rel_pos_index.reshape(-1)
         ].reshape(n, n, h)
-        attn = attn + bias.transpose(2, 0, 1).astype(jnp.float32)[None]
+        attn = attn + bias.transpose(2, 0, 1).astype(attn.dtype)[None]
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(-1, nw, h, n, n) + mask[None, :, None]
+            attn = attn.reshape(-1, nw, h, n, n) + mask[None, :, None].astype(
+                attn.dtype)
             attn = attn.reshape(-1, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = dropout(attn, self.attn_drop_rate)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
