@@ -88,12 +88,12 @@ class ResNetConfig(ModelConfig):
 
 
 def _max_pool_pt(x, pool_size, stride, padding):
-    """PyTorch-style max pool with symmetric padding."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else -(2**31)
+    """PyTorch-style max pool with symmetric padding. Uses -inf init/padding:
+    reduce_window's reverse-mode rule requires the identity element."""
     x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-                constant_values=neg)
+                constant_values=-jnp.inf)
     return jax.lax.reduce_window(
-        x, neg, jax.lax.max, (1, pool_size, pool_size, 1),
+        x, -jnp.inf, jax.lax.max, (1, pool_size, pool_size, 1),
         (1, stride, stride, 1), "VALID",
     )
 

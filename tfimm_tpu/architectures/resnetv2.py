@@ -208,8 +208,8 @@ class ResNetV2Stem:
         if not self.preact:
             x = self.act(self.norm(p["norm"], x))
         if self.stem_type == "fixed":
-            neg = jnp.finfo(x.dtype).min
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
             x = max_pool_2d(x, 3, 2, padding="VALID")
         elif self.stem_type == "same":
             x = max_pool_2d(x, 3, 2, padding="SAME")

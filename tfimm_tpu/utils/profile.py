@@ -83,7 +83,9 @@ def time_model(
     else:
         raise ValueError(f"Unknown target: {target}")
 
-    np.asarray(run_n(params, x, 2))  # compile + warm-up
+    # Warm up with the SAME static n — a different length would compile a
+    # different specialization inside the timed region.
+    np.asarray(run_n(params, x, nb_batches))
     start = time.perf_counter()
     np.asarray(run_n(params, x, nb_batches))
     elapsed = time.perf_counter() - start
