@@ -86,3 +86,22 @@ def test_eval_step_sharded_matches_unsharded():
     y_local = make_eval_step(model)(model.params, images)
     np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_local),
                                atol=1e-5)
+
+
+def test_remat_train_step_matches():
+    """Rematerialized step produces the same loss/updates as the plain step."""
+    model = create_model("vit_test_model")
+    tx = optax.sgd(0.01)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(4,)))
+    key = jax.random.PRNGKey(0)
+
+    step = make_train_step(model, tx)
+    step_r = make_train_step(model, tx, remat=True)
+    p1, _, m1 = step(model.params, tx.init(model.params), (images, labels), key)
+    p2, _, m2 = step_r(model.params, tx.init(model.params), (images, labels), key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1["head"]["kernel"]), np.asarray(p2["head"]["kernel"]),
+        atol=1e-6)

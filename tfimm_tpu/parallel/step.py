@@ -51,16 +51,27 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     weight_decay: float = 0.0,
     param_sharding=None,
+    remat: bool = False,
 ):
     """Build a jitted, mesh-sharded training step.
 
     Returns ``step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics)`` where ``batch = (images, labels)``.
+    ``remat=True`` rematerializes the forward pass during backprop
+    (jax.checkpoint), trading ~1/3 more FLOPs for activation memory — the
+    TPU-idiomatic way to fit larger batches in HBM.
     """
     loss_fn = loss_fn or cross_entropy_loss
 
+    def forward(params, images, rng):
+        return model.apply(params, images, training=True, rng=rng,
+                           mutable=True)
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
     def compute_loss(params, images, labels, rng):
-        out = model.apply(params, images, training=True, rng=rng, mutable=True)
+        out = forward(params, images, rng)
         logits, updates = out if isinstance(out, tuple) else (out, {})
         loss = loss_fn(logits.astype(jnp.float32), labels)
         if weight_decay:
