@@ -65,3 +65,23 @@ def test_flash_relpos_matches_reference():
                                  block_q=32, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_fused_convnext_block_matches_reference():
+    from tfimm_tpu.architectures.convnext import ConvNeXtBlock
+    from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+    rng = np.random.default_rng(0)
+    c, h, w = 16, 8, 10
+    blk = ConvNeXtBlock(c, 4.0, False, 0.0, 0.0, "layer_norm_eps_1e-6",
+                        "gelu_tanh", 1e-6)
+    p = blk.init(jax.random.PRNGKey(0))
+    p["gamma"] = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+    ref = blk(p, x)
+    out = fused_convnext_block(
+        x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"], p["norm"]["scale"],
+        p["norm"]["bias"], p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"], p["gamma"],
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -84,6 +84,8 @@ class ConvNeXtBlock:
         self.init_scale = init_scale
         self.embed_dim = embed_dim
         self.drop_path_rate = drop_path_rate
+        self.conv_mlp_block = conv_mlp_block
+        self.drop_rate = drop_rate
 
     def init(self, rng):
         r = jax.random.split(rng, 3)
@@ -94,7 +96,47 @@ class ConvNeXtBlock:
             "gamma": jnp.full((self.embed_dim,), self.init_scale),
         }
 
+    def _use_fused_kernel(self, x):
+        import os
+
+        from tfimm_tpu.core import current_context
+
+        # Opt-in: measured slower than XLA on v5e (see
+        # ops/pallas/convnext_block.py docstring).
+        if os.environ.get("TFIMM_TPU_FUSED_CONVNEXT", "0") != "1":
+            return False
+        if os.environ.get("TFIMM_TPU_EXACT_GELU", "0") == "1":
+            return False
+        ctx = current_context()
+        if ctx.training or self.conv_mlp_block or self.drop_rate:
+            return False
+        if x.dtype not in (jnp.bfloat16, jnp.float16):
+            return False  # kernel uses tanh-GELU, the low-precision policy
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+        # VMEM estimate: padded input + MLP hidden + output (+ weights).
+        b, h, w, c = x.shape
+        hidden = self.mlp.fc1.out_features
+        vmem = ((h + 6) * (w + 6) * c + 2 * h * w * c + h * w * hidden
+                + c * hidden * 2) * 2
+        return vmem < 12 * 1024 * 1024
+
     def __call__(self, p, x):
+        if self._use_fused_kernel(x):
+            from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block
+
+            return fused_convnext_block(
+                x, p["conv_dw"]["kernel"], p["conv_dw"]["bias"],
+                p["norm"]["scale"], p["norm"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                p["gamma"], eps=self.norm.eps,
+            )
         shortcut = x
         x = self.conv_dw(p["conv_dw"], x)
         x = self.norm(p["norm"], x)
