@@ -1,0 +1,109 @@
+"""Distillation problem + full run() config-path tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tfimm_tpu.train import (
+    ArrayDataset,
+    ArrayDatasetConfig,
+    DistillationConfig,
+    DistillationProblem,
+    ModelConfig,
+    OptimizerConfig,
+    Timekeeping,
+)
+from tfimm_tpu.train.optimizers import LRConstConfig
+
+import tests.models.architectures  # noqa: F401
+
+
+def test_distillation_problem_learns():
+    tk = Timekeeping(nb_epochs=1, batch_size=8, nb_samples_per_epoch=16)
+    cfg = DistillationConfig(
+        teacher=ModelConfig(model_name="vit_test_model", nb_classes=0),
+        teacher_class="ModelFactory",
+        student=ModelConfig(model_name="vit_test_model", nb_classes=0),
+        student_class="ModelFactory",
+        optimizer=OptimizerConfig(lr_schedule=LRConstConfig(lr=0.05),
+                                  lr_schedule_class="LRConstFactory",
+                                  optimizer="adam"),
+        optimizer_class="OptimizerFactory",
+    )
+    problem = DistillationProblem(cfg, timekeeping=tk)
+    # Teacher and student are built identically (same seed) -> re-init the
+    # student so there is actually something to learn.
+    problem.params = problem.student.init(123)
+    problem.opt_state = problem.tx.init(problem.params)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, size=(8, 32, 32, 3)).astype("float32")
+    loss0, _ = problem.train_step((images,), 0)
+    for it in range(10):
+        loss, _ = problem.train_step((images,), it)
+    assert loss < loss0  # student embeddings move toward the teacher
+
+
+def test_run_via_config(tmp_path):
+    """Full run() through the _class config system with dict defaults."""
+    from tfimm_tpu.train import run
+
+    rng = np.random.default_rng(1)
+    data = (rng.uniform(0, 255, size=(16, 32, 32, 3)).astype("float32"),
+            rng.integers(0, 4, size=(16,)))
+
+    # ArrayDataset needs a data source, so register a tiny subclass.
+    from dataclasses import dataclass
+
+    from tfimm_tpu.train.datasets import ArrayDataset, ArrayDatasetConfig
+    from tfimm_tpu.train.registry import cfg_serializable
+
+    @dataclass
+    class ToyDataConfig(ArrayDatasetConfig):
+        pass
+
+    @cfg_serializable
+    class ToyData(ArrayDataset):
+        cfg_class = ToyDataConfig
+
+        def __init__(self, cfg):
+            super().__init__(cfg, data=data)
+
+    cfg = {
+        "trainer_class": "Trainer",
+        "trainer": {"ckpt_dir": str(tmp_path / "run"),
+                    "validation_before_training": False,
+                    "display_loss_every_it": -1},
+        "problem_class": "ClassificationProblem",
+        "problem": {
+            "model_class": "ModelFactory",
+            "model": {"model_name": "vit_test_model", "nb_classes": 4},
+            "optimizer_class": "OptimizerFactory",
+            "optimizer": {"optimizer": "adam",
+                          "lr_schedule_class": "LRConstFactory",
+                          "lr_schedule": {"lr": 0.01}},
+        },
+        "train_dataset_class": "ToyData",
+        "train_dataset": {"batch_size": 8},
+        "timekeeping_class": "Timekeeping",
+        "timekeeping": {"nb_epochs": 1, "batch_size": 8,
+                        "nb_samples_per_epoch": 16},
+    }
+    trainer = run(cfg, parse_cmdline_args=False)
+    assert trainer.problem.epoch == 1
+    logs = trainer.problem.validation(ToyData(ToyDataConfig(batch_size=8,
+                                                            shuffle=False)))
+    assert 0.0 <= logs["val/accuracy"] <= 1.0
+
+
+def test_run_parses_dict_config(tmp_path):
+    from tfimm_tpu.train.config import parse_args
+    from tfimm_tpu.train.train import ExperimentConfig
+
+    cfg = parse_args(
+        {"timekeeping_class": "Timekeeping"},
+        cfg_class=ExperimentConfig,
+        args=["--timekeeping.nb_epochs=2", "--timekeeping.batch_size=4",
+              "--timekeeping.nb_samples_per_epoch=8"],
+    )
+    assert cfg.timekeeping.nb_epochs == 2
+    assert cfg.timekeeping.batch_size == 4

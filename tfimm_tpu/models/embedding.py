@@ -19,8 +19,9 @@ class EmbeddingModel:
     def __init__(self, backbone, embed_dim: int):
         self.backbone = backbone
         self.embed_dim = embed_dim
-        in_features = backbone.cfg.embed_dim if hasattr(backbone.cfg, "embed_dim") \
-            else backbone.cfg.nb_features
+        in_features = getattr(backbone, "nb_features", None)
+        if in_features is None:
+            in_features = backbone.cfg.embed_dim
         self.fc = Dense(in_features, embed_dim)
         self.bn = BatchNorm(embed_dim, use_scale=False)
         self.params = None
@@ -51,6 +52,8 @@ class EmbeddingModel:
         ctx.index_params(params)
         with ctx:
             x = self.backbone.forward_features(params["backbone"], x)
+            if x.ndim == 4:  # CNN feature maps: global-pool before the head
+                x = x.mean(axis=(1, 2))
             x = self.fc(params["fc"], x)
             x = self.bn(params["bn"], x)
             ctx.capture("embeddings", x)

@@ -89,6 +89,30 @@ def _normalize(cfg):
     return out
 
 
+def _field_types(cls):
+    """Resolved field types (handles modules using
+    ``from __future__ import annotations``, where field.type is a string)."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    out = {}
+    for f in dataclasses.fields(cls):
+        tp = hints.get(f.name, f.type)
+        if isinstance(tp, str):
+            tp = {"int": int, "float": float, "str": str, "bool": bool,
+                  "tuple": tuple}.get(tp, str)
+        origin = getattr(tp, "__origin__", None)
+        if origin is not None:  # e.g. Tuple[int, int] / Optional[...]
+            tp = tuple if origin is tuple else str
+        if not callable(tp):
+            tp = str
+        out[f.name] = tp
+    return out
+
+
 def _to_typed(cfg):
     """Values -> (type, value) pairs; None/MISSING parse as str."""
     out = {}
@@ -112,7 +136,8 @@ def _expand_classes(cfg):
                 continue
             cls = get_cfg_class(val[1])
             stem = key[: -len("_class")]
-            params = {f.name: (f.type, f.default)
+            types = _field_types(cls)
+            params = {f.name: (types[f.name], f.default)
                       for f in dataclasses.fields(cls)}
             existing = cfg.get(stem, {})
             if not isinstance(existing, dict):
@@ -131,7 +156,9 @@ def _add_cls_defaults(cfg, cls):
     out = copy.deepcopy(cfg)
     if cls is None:
         return out
-    params = {f.name: (f.type, f.default) for f in dataclasses.fields(cls)}
+    types = _field_types(cls)
+    params = {f.name: (types[f.name], f.default)
+              for f in dataclasses.fields(cls)}
     for key, val in params.items():
         if f"{key}_class" in params:
             continue

@@ -45,8 +45,9 @@ def run(cfg=None, parse_cmdline_args: bool = True):
     defaults, or None; command-line arguments override it."""
     import tfimm_tpu.train  # noqa: F401  (registers classes)
 
-    if parse_cmdline_args:
-        cfg = parse_args(cfg or {}, cfg_class=ExperimentConfig)
+    if not isinstance(cfg, ExperimentConfig) or parse_cmdline_args:
+        cfg = parse_args(cfg or {}, cfg_class=ExperimentConfig,
+                         args=None if parse_cmdline_args else [])
     setup_logging(cfg.log_level)
     logging.info("Experiment config:")
     pprint(cfg)
