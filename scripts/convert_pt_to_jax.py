@@ -14,6 +14,10 @@ Usage:
 
 import argparse
 import os
+import sys
+
+# Allow running the script from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def convert_one(name, output_dir, checkpoint="", from_timm=False):

@@ -8,6 +8,10 @@ Usage: python scripts/convert_segment_anything.py --model sam_vit_b \
 
 import argparse
 import os
+import sys
+
+# Allow running the script from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -8,8 +8,12 @@ Usage: python scripts/profile_flops.py --results-file results/flops.csv
 """
 
 import argparse
-import csv
 import os
+import sys
+
+# Allow running the script from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import csv
 
 
 def main():

@@ -9,8 +9,12 @@ Usage: python scripts/profile_tpu.py --results-file results/tpu_v5e.csv \
 """
 
 import argparse
-import csv
 import os
+import sys
+
+# Allow running the script from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import csv
 
 
 def main():

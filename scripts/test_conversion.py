@@ -10,7 +10,11 @@ Usage: python scripts/test_conversion.py --model resnet18 --checkpoint r18.pth
 """
 
 import argparse
+import os
+import sys
 
+# Allow running the script from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser()
