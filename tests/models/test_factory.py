@@ -135,3 +135,22 @@ def test_return_features(model_name):
 def test_kwargs_validation():
     with pytest.raises(ValueError):
         create_model("vit_test_model", not_a_field=3)
+
+
+def test_interpolate_input_matches_fixed_at_native_size():
+    """Variable-resolution inference equals the fixed-size path at native
+    resolution (reference: tests/models/test_factory.py:156-179)."""
+    fixed = create_model("vit_test_model")
+    flex = create_model("vit_test_model", interpolate_input=True)
+    transfer_weights(fixed, flex)
+    x = jnp.asarray(
+        np.random.default_rng(8).uniform(size=(1, 32, 32, 3)), jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(fixed(x)), np.asarray(flex(x)),
+                               atol=1e-5)
+    # And it runs at a different resolution.
+    x48 = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(1, 48, 48, 3)), jnp.float32
+    )
+    y = flex(x48)
+    assert np.all(np.isfinite(np.asarray(y)))
