@@ -135,8 +135,9 @@ class RelPosAttention:
                                                    h * w, self.head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        if self._use_flash_kernel(h, w) and not (
-                current_context().training and self.attn_drop_rate > 0.0):
+        # Kernel path is inference-only: pallas_call has no VJP until the
+        # custom backward lands (TODO.md).
+        if self._use_flash_kernel(h, w) and not current_context().training:
             from tfimm_tpu.ops.pallas.flash_attention_relpos import (
                 flash_attention_relpos,
             )
