@@ -115,10 +115,12 @@ def _attention_mask(input_size, window_size, shift_size) -> np.ndarray:
         for ws in slices:
             img_mask[:, hs, ws, :] = cnt
             cnt += 1
-    mask_windows = np.reshape(
-        np.asarray(window_partition(jnp.asarray(img_mask), window_size)),
-        (-1, window_size ** 2),
-    )
+    # Pure-numpy window partition (construction-time; keeps model building
+    # off-device).
+    mw = img_mask.reshape(1, h // window_size, window_size,
+                          w // window_size, window_size, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5)
+    mask_windows = mw.reshape(-1, window_size ** 2)
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
