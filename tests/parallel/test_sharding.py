@@ -105,3 +105,79 @@ def test_remat_train_step_matches():
     np.testing.assert_allclose(
         np.asarray(p1["head"]["kernel"]), np.asarray(p2["head"]["kernel"]),
         atol=1e-6)
+
+
+def test_train_step_merges_bn_stats():
+    """BatchNorm running stats update through the sharded train step."""
+    model = create_model("resnet_test_model", nb_classes=4)
+    tx = optax.sgd(0.01)
+    step = make_train_step(model, tx)
+    rng = np.random.default_rng(10)
+    images = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=(8,)))
+    before = np.asarray(model.params["bn1"]["mean"])
+    params, _, metrics = step(model.params, tx.init(model.params),
+                              (images, labels), jax.random.PRNGKey(0))
+    after = np.asarray(params["bn1"]["mean"])
+    assert not np.allclose(before, after), "running mean should move"
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fsdp_param_sharding_specs():
+    """Large leaves get the data axis on their largest free dim; small leaves
+    stay replicated; TP-ruled leaves keep the model axis."""
+    from tfimm_tpu.parallel import fsdp_param_sharding
+
+    model = create_model("vit_test_model", embed_dim=16, nb_heads=2)
+    mesh = create_mesh((4, 2))
+    shardings = fsdp_param_sharding(model.params, mesh, min_leaf_size=128)
+    P = jax.sharding.PartitionSpec
+    # qkv kernel (16, 48): the TP rule puts "model" on the output dim; FSDP
+    # adds "data" on the remaining free dim.
+    qkv = shardings["blocks"]["0"]["attn"]["qkv"]["kernel"]
+    assert qkv.spec == P("data", "model")
+    # Patch-embed kernel is large, no TP rule: data axis on its largest dim.
+    pe = shardings["patch_embed"]["proj"]["kernel"]
+    assert "data" in pe.spec
+    # Tiny leaves (norm scales) stay replicated.
+    assert shardings["norm"]["scale"].spec == P()
+
+
+def test_fsdp_train_step_matches_replicated():
+    """FSDP-sharded training computes exactly the same step as replicated."""
+    from tfimm_tpu.parallel import fsdp_param_sharding
+
+    model = create_model("vit_test_model")
+    mesh = create_mesh()  # 8-way data
+    tx = optax.adamw(1e-3)
+    p_shard = fsdp_param_sharding(model.params, mesh, min_leaf_size=64)
+    step_fsdp = make_train_step(model, tx, mesh, param_sharding=p_shard)
+    step_rep = make_train_step(model, tx, mesh)
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(size=(16, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(16,)))
+    key = jax.random.PRNGKey(0)
+    p1, s1, m1 = step_fsdp(model.params, tx.init(model.params),
+                           (images, labels), key)
+    p2, s2, m2 = step_rep(model.params, tx.init(model.params),
+                          (images, labels), key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["head"]["kernel"]),
+                               np.asarray(p2["head"]["kernel"]), atol=1e-5)
+
+
+def test_opt_state_sharding_follows_params():
+    from tfimm_tpu.parallel import fsdp_param_sharding, opt_state_sharding
+
+    model = create_model("vit_test_model")
+    mesh = create_mesh()
+    tx = optax.adamw(1e-3)
+    p_shard = fsdp_param_sharding(model.params, mesh, min_leaf_size=64)
+    opt_shard = opt_state_sharding(tx, model.params, p_shard, mesh)
+    # adamw opt state is (ScaleByAdamState, ...); mu mirrors the param tree.
+    adam_state = opt_shard[0]
+    assert adam_state.mu["head"]["kernel"].spec == \
+        p_shard["head"]["kernel"].spec
+    # The step counter is replicated.
+    assert adam_state.count.spec == jax.sharding.PartitionSpec()

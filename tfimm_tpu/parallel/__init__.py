@@ -1,8 +1,13 @@
 from tfimm_tpu.parallel.mesh import create_mesh  # noqa: F401
 from tfimm_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    fsdp_param_sharding,
     infer_param_sharding,
     replicated,
     DEFAULT_TP_RULES,
 )
-from tfimm_tpu.parallel.step import make_eval_step, make_train_step  # noqa: F401
+from tfimm_tpu.parallel.step import (  # noqa: F401
+    make_eval_step,
+    make_train_step,
+    opt_state_sharding,
+)

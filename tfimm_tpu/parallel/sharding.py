@@ -17,8 +17,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tfimm_tpu.utils.tree import flatten_params, unflatten_params
 
-__all__ = ["DEFAULT_TP_RULES", "infer_param_sharding", "batch_sharding",
-           "replicated"]
+__all__ = ["DEFAULT_TP_RULES", "infer_param_sharding", "fsdp_param_sharding",
+           "batch_sharding", "replicated"]
 
 # (path regex, spec builder). Specs reference the "model" axis for TP.
 DEFAULT_TP_RULES: List[Tuple[str, P]] = [
@@ -69,4 +69,42 @@ def infer_param_sharding(params, mesh: Mesh,
                     spec = candidate
                 break
         out[path] = NamedSharding(mesh, spec)
+    return unflatten_params(out)
+
+
+def fsdp_param_sharding(params, mesh: Mesh, axis: str = "data",
+                        rules: Sequence[Tuple[str, P]] = None,
+                        min_leaf_size: int = 2 ** 14):
+    """ZeRO-3-style param sharding: shard each large leaf over the data axis.
+
+    Starts from the TP sharding (``rules``, Megatron over "model"), then for
+    every leaf adds the ``axis`` ("data") mesh axis on the largest dimension
+    that (a) isn't already sharded and (b) divides the axis size. Leaves
+    smaller than ``min_leaf_size`` elements stay as the TP rule left them —
+    sharding a LayerNorm bias buys nothing and costs an all-gather.
+
+    With this as ``param_sharding`` (and the optimizer state following params,
+    which ``make_train_step`` does automatically), XLA inserts the
+    all-gathers before each use and reduce-scatters the gradients — the
+    standard FSDP schedule, expressed purely through shardings.
+    """
+    base = infer_param_sharding(params, mesh, rules=rules)
+    n_shard = mesh.shape[axis]
+    flat_p = flatten_params(params)
+    flat_s = flatten_params(base)
+    out = {}
+    for path, leaf in flat_p.items():
+        spec = list(flat_s[path].spec)
+        spec += [None] * (len(leaf.shape) - len(spec))
+        if leaf.size >= min_leaf_size and n_shard > 1:
+            # Largest free dimension divisible by the data-axis size.
+            dims = sorted(range(len(leaf.shape)),
+                          key=lambda d: leaf.shape[d], reverse=True)
+            for d in dims:
+                if spec[d] is None and leaf.shape[d] % n_shard == 0:
+                    spec[d] = axis
+                    break
+        while spec and spec[-1] is None:
+            spec.pop()
+        out[path] = NamedSharding(mesh, P(*spec))
     return unflatten_params(out)

@@ -20,7 +20,23 @@ import optax
 from tfimm_tpu.parallel.sharding import batch_sharding, infer_param_sharding, replicated
 from tfimm_tpu.utils.tree import flatten_params, unflatten_params
 
-__all__ = ["make_train_step", "make_eval_step", "merge_state_updates"]
+__all__ = ["make_train_step", "make_eval_step", "merge_state_updates",
+           "opt_state_sharding"]
+
+
+def opt_state_sharding(tx, params, param_sharding, mesh):
+    """Shardings for ``tx.init(params)``: param-shaped leaves (Adam moments,
+    momentum buffers) inherit the matching parameter's sharding; everything
+    else (step counters) is replicated. With an FSDP param sharding this gives
+    ZeRO partitioning of the optimizer state for free."""
+    shapes = jax.eval_shape(tx.init, params)
+    return optax.tree_map_params(
+        tx,
+        lambda _, s: s,
+        shapes,
+        param_sharding,
+        transform_non_params=lambda _: replicated(mesh),
+    )
 
 
 def merge_state_updates(params, updates):
@@ -98,10 +114,9 @@ def make_train_step(
     p_shard = param_sharding if param_sharding is not None else (
         infer_param_sharding(model.params, mesh)
     )
-    # Optimizer state (e.g. Adam moments) is replicated for now; the moment
-    # trees are small relative to activations for image models.
-    opt_state_shape = jax.eval_shape(tx.init, model.params)
-    opt_sharding = jax.tree.map(lambda _: replicated(mesh), opt_state_shape)
+    # Optimizer state follows the param shardings (Adam moments live wherever
+    # their parameter lives); counters etc. are replicated.
+    opt_sharding = opt_state_sharding(tx, model.params, p_shard, mesh)
     b_shard = batch_sharding(mesh)
     return jax.jit(
         step,
