@@ -76,7 +76,11 @@ def time_model(
                 p = optax.apply_updates(p, updates)
                 return (p, s), jnp.float32(0)
             (p, s), _ = jax.lax.scan(body, (params, opt_state), None, length=n)
-            return jax.tree.leaves(p)[0].reshape(-1)[0]
+            # Depend on EVERY updated leaf — fetching a single leaf lets XLA
+            # dead-code-eliminate most of the backward pass (a head-bias
+            # gradient needs no backprop at all).
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree.leaves(p))
 
         run_n = functools.partial(run_n, opt_state=opt_state)
         run_n = lambda params, x, n, _f=run_n: _f(params, x=x, n=n)  # noqa: E731
