@@ -51,6 +51,8 @@ def merge_state_updates(params, updates):
 def cross_entropy_loss(logits, labels, label_smoothing: float = 0.0):
     if logits.ndim == 3:  # distilled models: (B, 2, C) -> mean over heads
         logits = logits.mean(axis=1)
+    if labels.ndim == logits.ndim:  # soft targets (mixup/cutmix/smoothing)
+        return optax.softmax_cross_entropy(logits, labels).mean()
     if label_smoothing:
         nb_classes = logits.shape[-1]
         onehot = jax.nn.one_hot(labels, nb_classes)
@@ -105,7 +107,8 @@ def make_train_step(
         params = optax.apply_updates(params, grad_updates)
         params = merge_state_updates(params, updates)
         preds = (logits.mean(axis=1) if logits.ndim == 3 else logits).argmax(-1)
-        metrics = {"loss": loss, "accuracy": (preds == labels).mean()}
+        hard = labels.argmax(-1) if labels.ndim == preds.ndim + 1 else labels
+        metrics = {"loss": loss, "accuracy": (preds == hard).mean()}
         return params, opt_state, metrics
 
     if mesh is None:
