@@ -9,3 +9,6 @@ from tfimm_tpu.architectures.segment_anything.predictor import (  # noqa: F401
     ImageResizer,
     SAMPredictor,
 )
+from tfimm_tpu.architectures.segment_anything.amg import (  # noqa: F401
+    SAMAutomaticMaskGenerator,
+)
