@@ -149,3 +149,29 @@ def test_sam_predictor(fixed):
     masks3, scores3, _ = pred(boxes=np.array([[[2.0, 2.0, 30.0, 30.0]],
                                               [[5.0, 5.0, 20.0, 35.0]]]))
     assert masks3.shape == (2, 3, 40, 56)
+
+
+def test_predictor_size_bucketing():
+    """With size_bucket, images of nearby sizes share one padded input shape
+    (one encoder jit specialization) and masks come back at each original
+    resolution."""
+    from tfimm_tpu.architectures.segment_anything import SAMPredictor
+
+    cls, cfg = _tiny_cfg(fixed_input_size=False)
+    model = cls(cfg)
+    model.init(0)
+    pred = SAMPredictor(model, size_bucket=32)
+    rng = np.random.default_rng(11)
+
+    dsts = []
+    for size in [(33, 50), (40, 56), (62, 34)]:
+        img = rng.integers(0, 255, (*size, 3)).astype(np.uint8)
+        pred.set_image(img)
+        dsts.append(pred.resizer.dst_size)
+        masks, scores, _ = pred(points=np.array([[10.0, 12.0]]),
+                                labels=np.array([1]))
+        assert masks.shape == (3, *size)
+    assert dsts == [(64, 64), (64, 64), (64, 64)]
+
+    with pytest.raises(ValueError):
+        SAMPredictor(model, size_bucket=17)  # not a patch-size multiple

@@ -21,13 +21,26 @@ __all__ = ["SAMPredictor", "ImageResizer"]
 
 
 class SAMPredictor:
-    def __init__(self, model, preprocessing: Optional[Callable] = None):
+    def __init__(self, model, preprocessing: Optional[Callable] = None,
+                 size_bucket: Optional[int] = None):
+        """``size_bucket`` (flexible-input models only): round the padded
+        input size up to a multiple of this many pixels, so images of similar
+        sizes share one jit specialization of the encoder instead of
+        compiling per exact shape. Must be a multiple of the encoder patch
+        size. Padding is zeros after preprocessing and is cropped from the
+        output masks, matching SAM's fixed-size semantics."""
         from tfimm_tpu.models.factory import create_preprocessing
 
         if preprocessing is None:
             preprocessing = create_preprocessing(
                 model.cfg.name, in_channels=model.cfg.in_channels,
             )
+        if size_bucket is not None and (
+                size_bucket % model.cfg.encoder_patch_size != 0):
+            raise ValueError(
+                f"size_bucket must be a multiple of the encoder patch size "
+                f"({model.cfg.encoder_patch_size}), got {size_bucket}")
+        self.size_bucket = size_bucket
         self.model = model
         self.preprocessing = preprocessing
         self.resizer: Optional[ImageResizer] = None
@@ -48,6 +61,9 @@ class SAMPredictor:
             patch = self.model.cfg.encoder_patch_size
             dst = (patch * math.ceil(image.shape[0] / patch),
                    patch * math.ceil(image.shape[1] / patch))
+            if self.size_bucket is not None:
+                b = self.size_bucket
+                dst = (b * math.ceil(dst[0] / b), b * math.ceil(dst[1] / b))
             self.resizer = ImageResizer(image.shape[:2], dst, pad_only=True)
         image = self.resizer.scale_image(image)
         image = self.resizer.pad_image(image)
