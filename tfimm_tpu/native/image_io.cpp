@@ -1,0 +1,309 @@
+// Native image decode/encode for the input pipeline.
+//
+// The reference delegates JPEG decode + resize to TensorFlow's C++ ops
+// (tf.io.decode_jpeg / tf.image.resize inside its tf.data pipeline); this is
+// the framework-native equivalent: libjpeg/libpng decoders with a fused
+// DCT-scaled decode+resize path, exposed through a pure C ABI so ctypes calls
+// release the GIL and a Python thread pool gets real decode parallelism.
+//
+// All functions are thread-safe (no global state) and return 0 on success,
+// -1 on malformed input.
+
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+// libjpeg's default error handler calls exit(); route it to longjmp instead.
+struct JpegErr {
+    jpeg_error_mgr pub;
+    jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+    JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+    longjmp(err->jb, 1);
+}
+
+void jpeg_err_silence(j_common_ptr, int) {}
+
+void setup_jpeg_err(jpeg_decompress_struct* cinfo, JpegErr* jerr) {
+    cinfo->err = jpeg_std_error(&jerr->pub);
+    jerr->pub.error_exit = jpeg_err_exit;
+    jerr->pub.emit_message = jpeg_err_silence;
+}
+
+}  // namespace
+
+extern "C" {
+
+void tfimm_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// JPEG
+// ---------------------------------------------------------------------------
+
+int tfimm_jpeg_info(const unsigned char* buf, size_t len,
+                    int* h, int* w, int* c) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    setup_jpeg_err(&cinfo, &jerr);
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, len);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = static_cast<int>(cinfo.image_height);
+    *w = static_cast<int>(cinfo.image_width);
+    *c = cinfo.num_components;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode to RGB8 into caller-provided out (h*w*3). out_h/out_w must match
+// tfimm_jpeg_info dims.
+int tfimm_decode_jpeg(const unsigned char* buf, size_t len,
+                      unsigned char* out, int out_h, int out_w) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    setup_jpeg_err(&cinfo, &jerr);
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    if (static_cast<int>(cinfo.output_height) != out_h ||
+        static_cast<int>(cinfo.output_width) != out_w ||
+        cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    const size_t stride = static_cast<size_t>(out_w) * 3;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Bilinear resize, half-pixel centres (matches jax.image.resize / TF "bilinear"
+// with antialias off for upscaling; good enough for training-pipeline
+// downscale after DCT pre-scaling has done the heavy reduction).
+void tfimm_resize_bilinear_u8(const unsigned char* src, int sh, int sw,
+                              unsigned char* dst, int dh, int dw, int ch) {
+    const float ys = static_cast<float>(sh) / dh;
+    const float xs = static_cast<float>(sw) / dw;
+    for (int y = 0; y < dh; ++y) {
+        float fy = (y + 0.5f) * ys - 0.5f;
+        if (fy < 0) fy = 0;
+        int y0 = static_cast<int>(fy);
+        int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+        float wy = fy - y0;
+        for (int x = 0; x < dw; ++x) {
+            float fx = (x + 0.5f) * xs - 0.5f;
+            if (fx < 0) fx = 0;
+            int x0 = static_cast<int>(fx);
+            int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+            float wx = fx - x0;
+            const unsigned char* p00 = src + (static_cast<size_t>(y0) * sw + x0) * ch;
+            const unsigned char* p01 = src + (static_cast<size_t>(y0) * sw + x1) * ch;
+            const unsigned char* p10 = src + (static_cast<size_t>(y1) * sw + x0) * ch;
+            const unsigned char* p11 = src + (static_cast<size_t>(y1) * sw + x1) * ch;
+            unsigned char* q = dst + (static_cast<size_t>(y) * dw + x) * ch;
+            for (int k = 0; k < ch; ++k) {
+                float top = p00[k] + (p01[k] - p00[k]) * wx;
+                float bot = p10[k] + (p11[k] - p10[k]) * wx;
+                float v = top + (bot - top) * wy;
+                q[k] = static_cast<unsigned char>(v + 0.5f);
+            }
+        }
+    }
+}
+
+// Fused decode + resize to (out_h, out_w): libjpeg's DCT scaling (N/8) does
+// the coarse reduction during entropy decode — decoding a 4000px photo to a
+// 224px crop never materialises the full-res image — then one bilinear pass
+// lands on the exact target.
+int tfimm_decode_jpeg_resize(const unsigned char* buf, size_t len,
+                             unsigned char* out, int out_h, int out_w) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    setup_jpeg_err(&cinfo, &jerr);
+    unsigned char* tmp = nullptr;
+    if (setjmp(jerr.jb)) {
+        free(tmp);
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    // Largest num/8 scale whose output still covers the target.
+    int num = 8;
+    while (num > 1) {
+        const long sh = (static_cast<long>(cinfo.image_height) * (num - 1) + 7) / 8;
+        const long sw = (static_cast<long>(cinfo.image_width) * (num - 1) + 7) / 8;
+        if (sh < out_h || sw < out_w) break;
+        --num;
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+    jpeg_start_decompress(&cinfo);
+    const int sh = static_cast<int>(cinfo.output_height);
+    const int sw = static_cast<int>(cinfo.output_width);
+    if (cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    const size_t stride = static_cast<size_t>(sw) * 3;
+    tmp = static_cast<unsigned char*>(malloc(stride * sh));
+    if (!tmp) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = tmp + cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    tfimm_resize_bilinear_u8(tmp, sh, sw, out, out_h, out_w, 3);
+    free(tmp);
+    return 0;
+}
+
+// Encode RGB8 -> JPEG. *out is malloc'd by libjpeg; free with tfimm_free.
+int tfimm_encode_jpeg(const unsigned char* rgb, int h, int w, int quality,
+                      unsigned char** out, unsigned long* out_len) {
+    jpeg_compress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    *out = nullptr;
+    *out_len = 0;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        free(*out);
+        *out = nullptr;
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, out_len);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    const size_t stride = static_cast<size_t>(w) * 3;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = const_cast<unsigned char*>(rgb) +
+                       cinfo.next_scanline * stride;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PngReader {
+    const unsigned char* data;
+    size_t len;
+    size_t off;
+};
+
+void png_read_cb(png_structp p, png_bytep dst, png_size_t n) {
+    PngReader* r = static_cast<PngReader*>(png_get_io_ptr(p));
+    if (r->off + n > r->len) png_error(p, "unexpected end of PNG data");
+    memcpy(dst, r->data + r->off, n);
+    r->off += n;
+}
+
+// Shared open + normalise-to-RGB8 path for info/decode.
+bool png_begin(png_structp* pp, png_infop* ip, PngReader* reader,
+               int* h, int* w) {
+    *pp = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                                 nullptr);
+    if (!*pp) return false;
+    *ip = png_create_info_struct(*pp);
+    if (!*ip) {
+        png_destroy_read_struct(pp, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(*pp))) {
+        png_destroy_read_struct(pp, ip, nullptr);
+        return false;
+    }
+    png_set_read_fn(*pp, reader, png_read_cb);
+    png_read_info(*pp, *ip);
+    // Normalise every PNG flavour to 8-bit RGB.
+    png_set_palette_to_rgb(*pp);
+    png_set_expand_gray_1_2_4_to_8(*pp);
+    if (png_get_valid(*pp, *ip, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(*pp);
+    png_set_strip_16(*pp);
+    png_set_strip_alpha(*pp);
+    png_set_gray_to_rgb(*pp);
+    png_read_update_info(*pp, *ip);
+    *h = static_cast<int>(png_get_image_height(*pp, *ip));
+    *w = static_cast<int>(png_get_image_width(*pp, *ip));
+    return true;
+}
+
+}  // namespace
+
+int tfimm_png_info(const unsigned char* buf, size_t len, int* h, int* w) {
+    PngReader reader{buf, len, 0};
+    png_structp pp;
+    png_infop ip;
+    if (!png_begin(&pp, &ip, &reader, h, w)) return -1;
+    png_destroy_read_struct(&pp, &ip, nullptr);
+    return 0;
+}
+
+int tfimm_decode_png(const unsigned char* buf, size_t len,
+                     unsigned char* out, int out_h, int out_w) {
+    PngReader reader{buf, len, 0};
+    png_structp pp;
+    png_infop ip;
+    int h, w;
+    if (!png_begin(&pp, &ip, &reader, &h, &w)) return -1;
+    if (h != out_h || w != out_w ||
+        png_get_channels(pp, ip) != 3) {
+        png_destroy_read_struct(&pp, &ip, nullptr);
+        return -1;
+    }
+    if (setjmp(png_jmpbuf(pp))) {
+        png_destroy_read_struct(&pp, &ip, nullptr);
+        return -1;
+    }
+    const size_t stride = static_cast<size_t>(w) * 3;
+    for (int y = 0; y < h; ++y) {
+        png_bytep row = out + y * stride;
+        png_read_row(pp, row, nullptr);
+    }
+    png_destroy_read_struct(&pp, &ip, nullptr);
+    return 0;
+}
+
+}  // extern "C"
