@@ -85,3 +85,52 @@ def test_fused_convnext_block_matches_reference():
         p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"], p["gamma"],
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [128, 300])
+def test_flash_gradients_match_reference(n):
+    """Custom-VJP Pallas backward vs jax.grad through the XLA oracle,
+    including the padded (n=300) case and a non-default scale."""
+    d = 32
+    rng = jax.random.PRNGKey(2)
+    rq, rk, rv, rw = jax.random.split(rng, 4)
+    shape = (2, 2, n, d)
+    q = jax.random.normal(rq, shape, jnp.float32)
+    k = jax.random.normal(rk, shape, jnp.float32)
+    v = jax.random.normal(rv, shape, jnp.float32)
+    w = jax.random.normal(rw, shape, jnp.float32)  # random cotangent
+
+    def loss_ref(q, k, v):
+        out, _ = _reference_attention(q, k, v, scale=0.3)
+        return jnp.sum(out * w)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=0.3, interpret=True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_flash, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_flash_value_and_grad_jit():
+    """The custom VJP composes with jit + value_and_grad."""
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (1, 2, 256, 32), jnp.float32)
+
+    @jax.jit
+    def f(q):
+        return jnp.mean(flash_attention(q, q, q, interpret=True) ** 2)
+
+    val, grad = jax.value_and_grad(f)(x)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    def f_ref(q):
+        out, _ = _reference_attention(q, q, q)
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-5,
+                               rtol=1e-4)

@@ -135,8 +135,8 @@ class RelPosAttention:
                                                    h * w, self.head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # Kernel path is inference-only: pallas_call has no VJP until the
-        # custom backward lands (TODO.md).
+        # Kernel path is inference-only: the rel-pos variant has no custom
+        # VJP yet (the plain flash kernel does — TODO.md).
         if self._use_flash_kernel(h, w) and not current_context().training:
             from tfimm_tpu.ops.pallas.flash_attention_relpos import (
                 flash_attention_relpos,

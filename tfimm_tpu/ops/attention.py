@@ -48,9 +48,10 @@ def scaled_dot_product_attention(q, k, v, bias=None, scale: Optional[float] = No
     Uses the Pallas flash-attention kernel on TPU when shapes qualify, unless
     attention weights are requested (feature capture) or TFIMM_TPU_NO_FLASH=1.
     """
-    if (not return_weights and not current_context().training
+    if (not return_weights
             and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"):
-        # Inference-only: the Pallas kernel has no VJP yet (TODO.md).
+        # Differentiable: the kernel has a custom VJP (Pallas backward
+        # kernels), so it serves training as well as inference.
         from tfimm_tpu.ops.pallas import flash_attention_or_none
 
         out = flash_attention_or_none(q, k, v, bias=bias, scale=scale)

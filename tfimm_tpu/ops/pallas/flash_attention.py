@@ -36,6 +36,8 @@ def flash_attention_or_none(q, k, v, bias=None, scale: Optional[float] = None):
     (measured on v5e: ViT-B/224, N=197 — XLA 2117 img/s vs kernel 1350).
     The kernel's win is the long-sequence regime (SAM's 4096-token encoder).
     """
+    if bias is not None:
+        return None  # bias fusion not implemented; fall back to XLA
     if not _on_tpu():
         return None
     n, d = q.shape[-2], q.shape[-1]
@@ -43,4 +45,4 @@ def flash_attention_or_none(q, k, v, bias=None, scale: Optional[float] = None):
         return None
     from tfimm_tpu.ops.pallas.flash_attention_kernel import flash_attention
 
-    return flash_attention(q, k, v, bias=bias, scale=scale)
+    return flash_attention(q, k, v, scale=scale)
