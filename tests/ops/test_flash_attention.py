@@ -134,3 +134,51 @@ def test_flash_value_and_grad_jit():
     g_ref = jax.grad(f_ref)(x)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_flash_relpos_gradients_match_reference():
+    """Rel-pos kernel VJP (incl. d_rel_h_term / d_rel_w_term) vs autodiff
+    through the XLA decomposed-rel-pos path."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+        get_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import flash_attention_relpos
+
+    rng = np.random.default_rng(5)
+    b, gh, gw, d = 2, 8, 16, 32
+    n = gh * gw
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+               for _ in range(3))
+    rel_pos_h = jnp.asarray(rng.normal(size=(2 * gh - 1, d)), jnp.float32)
+    rel_pos_w = jnp.asarray(rng.normal(size=(2 * gw - 1, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    scale = d ** -0.5
+    r_h = get_rel_pos(gh, gh, rel_pos_h, False)
+    r_w = get_rel_pos(gw, gw, rel_pos_w, False)
+
+    def terms(q):
+        qg = q.reshape(b, gh, gw, d)
+        rh = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+        rw = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+        return rh, rw
+
+    def loss_ref(q, k, v):
+        attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                      (gh, gw), (gh, gw), False)
+        out = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+        return jnp.sum(out * w)
+
+    def loss_kernel(q, k, v):
+        rh, rw = terms(q)
+        out = flash_attention_relpos(q, k, v, rh, rw, grid_size=(gh, gw),
+                                     scale=scale, block_q=32, block_k=32,
+                                     interpret=True)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_ref, g_kernel, "qkv"):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"d{name}")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfimm_tpu.architectures.segment_anything.common import MLPBlock
-from tfimm_tpu.core import capture_feature, current_context
+from tfimm_tpu.core import capture_feature
 from tfimm_tpu.ops import Conv2d, Dense, PatchEmbeddings, norm_layer_factory
 from tfimm_tpu.ops.stochastic import drop_path, dropout
 
@@ -135,9 +135,10 @@ class RelPosAttention:
                                                    h * w, self.head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # Kernel path is inference-only: the rel-pos variant has no custom
-        # VJP yet (the plain flash kernel does — TODO.md).
-        if self._use_flash_kernel(h, w) and not current_context().training:
+        # Differentiable: the rel-pos kernel has a custom VJP (Pallas
+        # backward kernels incl. rel-term gradients), so SAM fine-tuning
+        # takes the kernel path too.
+        if self._use_flash_kernel(h, w):
             from tfimm_tpu.ops.pallas.flash_attention_relpos import (
                 flash_attention_relpos,
             )

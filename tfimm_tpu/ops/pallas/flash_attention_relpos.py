@@ -26,15 +26,49 @@ __all__ = ["flash_attention_relpos"]
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
-            gw: int):
+LANES = 128  # minor-dim replication for per-row scalars (lse, delta)
+
+
+def _h_selector(j: int, gh: int, block_k: int, gw: int):
+    """One-hot (gh, block_k) matrix: sel[h, c] = 1 iff key column c of key
+    block j lies in key-grid row h. Mosaic-friendly (iota compare + MXU dot;
+    no gathers or unaligned dynamic slices)."""
+    kh0 = j * (block_k // gw)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (gh, block_k), 0)
+    col_kh = kh0 + jax.lax.broadcasted_iota(jnp.int32, (gh, block_k), 1) // gw
+    return (row_ids == col_kh).astype(jnp.float32)
+
+
+def _w_selector(block_k: int, gw: int):
+    """One-hot (block_k, gw): sel[c, w] = 1 iff c % gw == w."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_k, gw), 0) % gw
+    w = jax.lax.broadcasted_iota(jnp.int32, (block_k, gw), 1)
+    return (col == w).astype(jnp.float32)
+
+
+def _bias_tile(rh, rw, j, block_k: int, gw: int, rows_per_block: int):
+    """(bq, block_k) bias tile for key block j from rh (bq, gh), rw (bq, gw).
+
+    rel_w: the kw pattern (0..gw-1) repeats every gw columns. rel_h: column c
+    belongs to key row kh0 + c // gw, expanded via one-hot selection matmul.
+    """
+    rw_tile = pltpu.repeat(rw, rows_per_block, axis=1)
+    sel = _h_selector(j, rh.shape[1], block_k, gw)
+    rh_tile = jax.lax.dot_general(
+        rh, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return rw_tile + rh_tile
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref, *,
+            block_k: int, gw: int):
     """Grid: (B, N // block_q). Refs (block-local):
     q (1, bq, d) pre-scaled, k/v (1, N, d), rh (1, bq, gh), rw (1, bq, gw),
-    o (1, bq, d)."""
+    o (1, bq, d), lse (1, bq, LANES)."""
     q = q_ref[0].astype(jnp.float32)             # (bq, d)
     rw = rw_ref[0].astype(jnp.float32)           # (bq, gw)
     rh = rh_ref[0].astype(jnp.float32)           # (bq, gh)
-    gh = rh.shape[1]
     n = k_ref.shape[1]
     bq, d = q.shape
     rows_per_block = block_k // gw               # key-grid rows per k-block
@@ -48,23 +82,7 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, block_k)
-
-        # Bias tile: key index k = kh * gw + kw. This block covers key rows
-        # [j*rows_per_block, (j+1)*rows_per_block), each contributing gw cols.
-        # rel_w part: the kw pattern (0..gw-1) repeats every gw columns.
-        rw_tile = pltpu.repeat(rw, rows_per_block, axis=1)  # (bq, block_k)
-        # rel_h part: column c belongs to key row kh0 + c // gw. Expand via a
-        # one-hot selection matmul (Mosaic-friendly: iota compare + MXU dot,
-        # no gathers or unaligned dynamic slices).
-        kh0 = j * rows_per_block
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (gh, block_k), 0)
-        col_kh = kh0 + jax.lax.broadcasted_iota(jnp.int32, (gh, block_k), 1) // gw
-        sel = (row_ids == col_kh).astype(jnp.float32)       # (gh, block_k)
-        rh_tile = jax.lax.dot_general(
-            rh, sel, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # (bq, block_k)
-        s = s + rw_tile + rh_tile
+        s = s + _bias_tile(rh, rw, j, block_k, gw, rows_per_block)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -82,22 +100,14 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = jnp.broadcast_to(lse, (bq, LANES))
 
 
-@functools.partial(jax.jit, static_argnames=("grid_size", "scale", "block_q",
-                                             "block_k", "interpret"))
-def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
-                           scale: float, block_q: int = 512,
-                           block_k: int = 512, interpret: bool = False):
-    """q, k, v: (B, N, D) with N = gh*gw; rel terms (B, N, gh)/(B, N, gw);
-    bias applied to *unscaled-q* scores exactly like add_decomposed_rel_pos
-    (callers pre-scale q and the rel terms consistently)."""
-    gh, gw = grid_size
-    b, n, d = q.shape
-    assert n == gh * gw and n % block_k == 0 and n % block_q == 0
-    assert block_k % gw == 0
-
-    out = pl.pallas_call(
+def _relpos_forward_call(qs, k, v, rh, rw, gw, block_q, block_k, interpret):
+    b, n, d = qs.shape
+    gh = rh.shape[-1]
+    return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, gw=gw),
         grid=(b, n // block_q),
         in_specs=[
@@ -112,14 +122,220 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
             pl.BlockSpec((1, block_q, gw), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bi, qi: (bi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qs.dtype),
+            jax.ShapeDtypeStruct((b, n, LANES), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * n * d,
-            bytes_accessed=4 * b * n * d * q.dtype.itemsize,
+            bytes_accessed=4 * b * n * d * qs.dtype.itemsize,
             transcendentals=b * n * n,
         ),
-    )(q * jnp.asarray(scale, q.dtype), k, v, rel_h_term, rel_w_term)
+    )(qs, k, v, rh, rw)
+
+
+# ---------------------------------------------------------------------------
+# Backward. s = qs k^T + bias, p = exp(s - lse), so d_bias = dS; the rel-term
+# gradients are blockwise reductions of dS through the same one-hot selection
+# matmuls the forward uses to expand them:
+#   d_rh[q, h] = sum_{c: kh(c)=h} dS[q, c] = dS @ sel^T
+#   d_rw[q, w] = sum_{c: kw(c)=w} dS[q, c] = dS @ wsel
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, rh_ref,
+                   rw_ref, dq_ref, drh_ref, drw_ref, *, block_k: int, gw: int):
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    rh = rh_ref[0].astype(jnp.float32)
+    rw = rw_ref[0].astype(jnp.float32)
+    gh = rh.shape[1]
+    n = k_ref.shape[1]
+    bq, d = q.shape
+    rows_per_block = block_k // gw
+    wsel = _w_selector(block_k, gw)
+
+    def body(j, carry):
+        dq, drh, drw = carry
+        kj = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vj = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + _bias_tile(rh, rw, j, block_k, gw, rows_per_block)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                  # (bq, block_k) — also d_bias
+        dq = dq + jax.lax.dot_general(
+            ds, kj, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = _h_selector(j, gh, block_k, gw)
+        drh = drh + jax.lax.dot_general(
+            ds, sel, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        drw = drw + jax.lax.dot_general(
+            ds, wsel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq, drh, drw
+
+    dq0 = jnp.zeros((bq, d), jnp.float32)
+    drh0 = jnp.zeros((bq, gh), jnp.float32)
+    drw0 = jnp.zeros((bq, gw), jnp.float32)
+    dq, drh, drw = jax.lax.fori_loop(0, n // block_k, body, (dq0, drh0, drw0))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    drh_ref[0] = drh.astype(drh_ref.dtype)
+    drw_ref[0] = drw.astype(drw_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref, k_ref,
+                    v_ref, dk_ref, dv_ref, *, block_q: int, gw: int):
+    k = k_ref[0].astype(jnp.float32)           # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    n = q_ref.shape[1]
+    block_k = k.shape[0]
+    rows_per_block = block_k // gw
+    j = pl.program_id(1)
+
+    def body(i, carry):
+        dk, dv = carry
+        qi = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        doi = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        rhi = rh_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        rwi = rw_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qi, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + _bias_tile(rhi, rwi, j, block_k, gw, rows_per_block)
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(
+            p, doi, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            doi, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, qi, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    zeros = jnp.zeros_like(k)
+    dk, dv = jax.lax.fori_loop(0, n // block_q, body, (zeros, zeros))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _relpos_backward_call(qs, k, v, rh, rw, out, lse, do, gw, block_q,
+                          block_k, interpret):
+    b, n, d = qs.shape
+    gh = rh.shape[-1]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (b, n, LANES))
+
+    full = pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full_vec = pl.BlockSpec((1, n, LANES), lambda bi, i: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full_rh = pl.BlockSpec((1, n, gh), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full_rw = pl.BlockSpec((1, n, gw), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    blk_q = pl.BlockSpec((1, block_q, d), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM)
+    blk_q_vec = pl.BlockSpec((1, block_q, LANES), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM)
+    blk_q_rh = pl.BlockSpec((1, block_q, gh), lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+    blk_q_rw = pl.BlockSpec((1, block_q, gw), lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, drh, drw = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, gw=gw),
+        grid=(b, n // block_q),
+        in_specs=[full, full, blk_q, blk_q, blk_q_vec, blk_q_vec, blk_q_rh,
+                  blk_q_rw],
+        out_specs=[blk_q, blk_q_rh, blk_q_rw],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), qs.dtype),
+                   jax.ShapeDtypeStruct((b, n, gh), rh.dtype),
+                   jax.ShapeDtypeStruct((b, n, gw), rw.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * n * d,
+            bytes_accessed=5 * b * n * d * qs.dtype.itemsize,
+            transcendentals=b * n * n,
+        ),
+    )(k, v, qs, do, lse, delta, rh, rw)
+
+    blk_k = pl.BlockSpec((1, block_k, d), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, gw=gw),
+        grid=(b, n // block_k),
+        in_specs=[full, full, full_vec, full_vec, full_rh, full_rw, blk_k,
+                  blk_k],
+        out_specs=[blk_k, blk_k],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, n, d), v.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=7 * b * n * n * d,
+            bytes_accessed=5 * b * n * d * qs.dtype.itemsize,
+            transcendentals=b * n * n,
+        ),
+    )(qs, do, lse, delta, rh, rw, k, v)
+    return dq, dk, dv, drh, drw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _relpos_core(qs, k, v, rh, rw, gw, block_q, block_k, interpret):
+    out, _ = _relpos_forward_call(qs, k, v, rh, rw, gw, block_q, block_k,
+                                  interpret)
     return out
+
+
+def _relpos_core_fwd(qs, k, v, rh, rw, gw, block_q, block_k, interpret):
+    out, lse = _relpos_forward_call(qs, k, v, rh, rw, gw, block_q, block_k,
+                                    interpret)
+    return out, (qs, k, v, rh, rw, out, lse)
+
+
+def _relpos_core_bwd(gw, block_q, block_k, interpret, res, do):
+    qs, k, v, rh, rw, out, lse = res
+    return _relpos_backward_call(qs, k, v, rh, rw, out, lse, do, gw, block_q,
+                                 block_k, interpret)
+
+
+_relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "scale", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
+                           scale: float, block_q: int = 512,
+                           block_k: int = 512, interpret: bool = False):
+    """q, k, v: (B, N, D) with N = gh*gw; rel terms (B, N, gh)/(B, N, gw);
+    bias applied to *unscaled-q* scores exactly like add_decomposed_rel_pos
+    (callers pre-scale q and the rel terms consistently). Differentiable:
+    custom VJP with Pallas backward kernels (incl. rel-term gradients)."""
+    gh, gw = grid_size
+    b, n, d = q.shape
+    assert n == gh * gw and n % block_k == 0 and n % block_q == 0
+    assert block_k % gw == 0
+
+    # The q scaling lives outside the custom-VJP core so autodiff chains it.
+    qs = q * jnp.asarray(scale, q.dtype)
+    return _relpos_core(qs, k, v, rel_h_term, rel_w_term, gw, block_q,
+                        block_k, interpret)
