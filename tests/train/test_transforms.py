@@ -112,3 +112,39 @@ def test_mixup_jittable():
     mix = Mixup(nb_classes=10)
     out, soft = jax.jit(mix)(jax.random.PRNGKey(7), images, labels)
     assert out.shape == images.shape and soft.shape == (8, 10)
+
+
+def test_image_folder_dataset(tmp_path):
+    """Class-per-subdir folder decoded through the native pipeline."""
+    from PIL import Image
+    from tfimm_tpu.train.datasets import ImageFolderConfig, ImageFolderDataset
+
+    rng = np.random.default_rng(0)
+    for ci, cname in enumerate(["ants", "bees"]):
+        d = tmp_path / cname
+        d.mkdir()
+        for i in range(5):
+            img = rng.integers(0, 255, (40 + i, 50, 3)).astype(np.uint8)
+            fmt = "JPEG" if i % 2 == 0 else "PNG"
+            Image.fromarray(img).save(
+                d / f"img{i}.{'jpg' if fmt == 'JPEG' else 'png'}", format=fmt)
+
+    cfg = ImageFolderConfig(path=str(tmp_path), batch_size=4,
+                            input_size=(32, 32), seed=1)
+    ds = ImageFolderDataset(cfg)
+    assert ds.classes == ["ants", "bees"]
+    assert len(ds) == 2  # 10 images // 4
+    seen_labels = []
+    for images, labels in ds:
+        assert images.shape == (4, 32, 32, 3) and images.dtype == np.uint8
+        assert labels.shape == (4,)
+        seen_labels.extend(labels.tolist())
+    assert set(seen_labels) <= {0, 1} and len(seen_labels) == 8
+    # Deterministic under the same seed.
+    ds2 = ImageFolderDataset(ImageFolderConfig(
+        path=str(tmp_path), batch_size=4, input_size=(32, 32), seed=1))
+    first1 = next(iter(ImageFolderDataset(ImageFolderConfig(
+        path=str(tmp_path), batch_size=4, input_size=(32, 32), seed=1))))
+    first2 = next(iter(ds2))
+    np.testing.assert_array_equal(first1[0], first2[0])
+    np.testing.assert_array_equal(first1[1], first2[1])

@@ -17,7 +17,8 @@ import numpy as np
 
 from tfimm_tpu.train.registry import cfg_serializable
 
-__all__ = ["TFDSConfig", "TFDSWrapper", "ArrayDatasetConfig", "ArrayDataset"]
+__all__ = ["TFDSConfig", "TFDSWrapper", "ArrayDatasetConfig", "ArrayDataset",
+           "ImageFolderConfig", "ImageFolderDataset"]
 
 
 @dataclass
@@ -113,6 +114,92 @@ class GrainDataset:
             images, labels = zip(*batch) if isinstance(batch, list) else (
                 batch[0], batch[1])
             yield np.asarray(images), np.asarray(labels)
+
+
+@dataclass
+class ImageFolderConfig:
+    path: str = ""
+    batch_size: int = 32
+    input_size: tuple = (224, 224)
+    shuffle: bool = True
+    seed: int = 0
+    num_threads: int = 8
+
+
+@cfg_serializable
+class ImageFolderDataset:
+    """Class-per-subdirectory image folder (the timm/torchvision layout):
+    ``path/<class_name>/*.{jpg,jpeg,png}``. Decoding runs on the native C++
+    pipeline (tfimm_tpu.native: libjpeg DCT-scaled decode+resize on a
+    GIL-free thread pool); falls back to PIL when no C++ toolchain is
+    available. Yields (B, H, W, 3) uint8 batches + int labels."""
+
+    cfg_class = ImageFolderConfig
+    _EXTS = (".jpg", ".jpeg", ".png")
+
+    def __init__(self, cfg: ImageFolderConfig):
+        import os
+
+        self.cfg = cfg
+        self.classes = sorted(
+            d for d in os.listdir(cfg.path)
+            if os.path.isdir(os.path.join(cfg.path, d)))
+        if not self.classes:
+            raise ValueError(f"No class subdirectories under {cfg.path}")
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = []
+        for c in self.classes:
+            cdir = os.path.join(cfg.path, c)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(self._EXTS):
+                    self.samples.append((os.path.join(cdir, fn),
+                                         self.class_to_idx[c]))
+        if not self.samples:
+            raise ValueError(f"No images found under {cfg.path}")
+        self._rng = np.random.default_rng(cfg.seed)
+        self._decode_batch = None
+
+    def _decoder(self):
+        if self._decode_batch is None:
+            size = tuple(self.cfg.input_size)
+            try:
+                from tfimm_tpu.native import ParallelDecoder
+
+                self._decode_batch = ParallelDecoder(
+                    size=size, num_threads=self.cfg.num_threads)
+            except (RuntimeError, OSError):  # no toolchain: PIL fallback
+                from PIL import Image
+                import io
+
+                def _pil(blobs):
+                    out = []
+                    for blob in blobs:
+                        img = Image.open(io.BytesIO(blob)).convert("RGB")
+                        img = img.resize(size[::-1], Image.BILINEAR)
+                        out.append(np.asarray(img, np.uint8))
+                    return np.stack(out)
+
+                self._decode_batch = _pil
+        return self._decode_batch
+
+    def __len__(self):
+        return len(self.samples) // self.cfg.batch_size
+
+    def __iter__(self):
+        decode = self._decoder()
+        idx = np.arange(len(self.samples))
+        if self.cfg.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.cfg.batch_size
+        for i in range(len(self.samples) // bs):
+            batch = idx[i * bs:(i + 1) * bs]
+            blobs, labels = [], []
+            for j in batch:
+                path, label = self.samples[j]
+                with open(path, "rb") as f:
+                    blobs.append(f.read())
+                labels.append(label)
+            yield decode(blobs), np.asarray(labels)
 
 
 @dataclass
