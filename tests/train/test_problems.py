@@ -107,3 +107,67 @@ def test_run_parses_dict_config(tmp_path):
     )
     assert cfg.timekeeping.nb_epochs == 2
     assert cfg.timekeeping.batch_size == 4
+
+
+def test_classification_ema_and_mixup():
+    """EMA params trail the live params and are used for validation;
+    mixup produces soft labels inside the step without breaking metrics."""
+    import jax
+    import numpy as np
+    from tfimm_tpu.train import (
+        ArrayDataset,
+        ArrayDatasetConfig,
+        ClassificationConfig,
+        ClassificationProblem,
+        ModelConfig,
+        OptimizerConfig,
+        Timekeeping,
+    )
+    from tfimm_tpu.train.optimizers import LRConstConfig
+    from tfimm_tpu.utils.tree import flatten_params
+
+    tk = Timekeeping(nb_epochs=1, batch_size=8)
+    cfg = ClassificationConfig(
+        model=ModelConfig(model_name="vit_test_model", nb_classes=4),
+        model_class="ModelFactory",
+        optimizer=OptimizerConfig(
+            lr_schedule=LRConstConfig(lr=0.05),
+            lr_schedule_class="LRConstFactory",
+            optimizer="adam",
+        ),
+        optimizer_class="OptimizerFactory",
+        ema_decay=0.5,
+        mixup_alpha=0.8,
+        cutmix_alpha=1.0,
+        label_smoothing=0.1,
+    )
+    problem = ClassificationProblem(cfg, timekeeping=tk)
+    init = flatten_params(problem.params)
+
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 255, size=(8, 32, 32, 3)).astype("float32")
+    labels = rng.integers(0, 4, size=(8,))
+    for it in range(3):
+        loss, logs = problem.train_step((images, labels), it)
+        assert np.isfinite(loss)
+
+    live = flatten_params(problem.params)
+    ema = flatten_params(problem.ema_params)
+    key = "head.kernel"
+    assert not np.allclose(np.asarray(live[key]), np.asarray(init[key]))
+    # EMA lies strictly between the init and the live weights.
+    d_live = float(np.abs(np.asarray(live[key]) - np.asarray(init[key])).max())
+    d_ema = float(np.abs(np.asarray(ema[key]) - np.asarray(init[key])).max())
+    assert 0.0 < d_ema < d_live
+    # state round-trips the EMA; model_only warm start resets it.
+    state = problem.state
+    assert "ema_params" in state
+    problem.set_state(state, model_only=True)
+    np.testing.assert_allclose(
+        np.asarray(flatten_params(problem.ema_params)[key]),
+        np.asarray(live[key]))
+    # validation runs on EMA params without error.
+    ds = ArrayDataset(ArrayDatasetConfig(batch_size=8),
+                      data=(images, labels))
+    logs = problem.validation(ds)
+    assert 0.0 <= logs["val/accuracy"] <= 1.0

@@ -36,6 +36,12 @@ class ClassificationConfig:
     weight_decay: float = 0.0
     label_smoothing: float = 0.0
     mixed_precision: bool = False  # bf16 compute on TPU
+    # Weight averaging: keep an EMA of the params, validate/export with it.
+    ema_decay: float = 0.0  # 0 = disabled; typical 0.9998
+    # On-device mixup/cutmix (train/transforms.py); 0/0 = disabled.
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    mixup_prob: float = 1.0
     # Set by the experiment runner
     timekeeping: Any = None
     timekeeping_class: str = ""
@@ -61,6 +67,22 @@ class ClassificationProblem(ProblemBase):
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
         self._rng = jax.random.PRNGKey(0)
+
+        self.ema_params = None
+        if cfg.ema_decay:
+            d = cfg.ema_decay
+            self.ema_params = self.params
+            self._ema_update = jax.jit(lambda ema, p: jax.tree.map(
+                lambda e, q: e * d + q.astype(e.dtype) * (1.0 - d), ema, p))
+
+        self._mixup = None
+        if cfg.mixup_alpha or cfg.cutmix_alpha:
+            from tfimm_tpu.train.transforms import Mixup
+
+            self._mixup = jax.jit(Mixup(
+                nb_classes=self.model.cfg.nb_classes,
+                mixup_alpha=cfg.mixup_alpha, cutmix_alpha=cfg.cutmix_alpha,
+                prob=cfg.mixup_prob, label_smoothing=cfg.label_smoothing))
 
         def loss_fn(logits, labels):
             if cfg.binary_loss:
@@ -95,20 +117,30 @@ class ClassificationProblem(ProblemBase):
     # -- ProblemBase ------------------------------------------------------------
     def train_step(self, data, it: int):
         images, labels = data
-        self._rng, step_rng = jax.random.split(self._rng)
+        images, labels = jnp.asarray(images), jnp.asarray(labels)
+        self._rng, step_rng, mix_rng = jax.random.split(self._rng, 3)
+        if self._mixup is not None:
+            # Applied to raw images: blending commutes with the affine
+            # (img - mean)/std preprocessing baked into the step.
+            images, labels = self._mixup(mix_rng, images.astype(jnp.float32),
+                                         labels)
         self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, (jnp.asarray(images),
-                                          jnp.asarray(labels)), step_rng,
+            self.params, self.opt_state, (images, labels), step_rng,
         )
+        if self.ema_params is not None:
+            self.ema_params = self._ema_update(self.ema_params, self.params)
         self.model.params = self.params
         logs = {"train/loss": float(metrics["loss"]),
                 "train/accuracy": float(metrics["accuracy"])}
         return float(metrics["loss"]), logs
 
     def validation(self, dataset):
+        # Validate the EMA weights when enabled (they're what gets deployed).
+        eval_params = self.ema_params if self.ema_params is not None \
+            else self.params
         correct, total, loss_sum = 0, 0, 0.0
         for images, labels in dataset:
-            logits = np.asarray(self._eval_step(self.params,
+            logits = np.asarray(self._eval_step(eval_params,
                                                 jnp.asarray(images)))
             if logits.ndim == 3:
                 logits = logits.mean(axis=1)
@@ -119,12 +151,19 @@ class ClassificationProblem(ProblemBase):
 
     @property
     def state(self):
-        return {"params": self.params, "opt_state": self.opt_state,
-                "epoch": self.epoch}
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "epoch": self.epoch}
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
+        return state
 
     def set_state(self, state, model_only: bool = False):
         self.params = state["params"]
         self.model.params = self.params
+        if self.ema_params is not None:
+            # Warm starts reset the average to the restored weights.
+            self.ema_params = state.get("ema_params", self.params) \
+                if not model_only else self.params
         if not model_only:
             self.opt_state = state["opt_state"]
             self.epoch = int(state["epoch"])
@@ -142,16 +181,22 @@ class ClassificationProblem(ProblemBase):
         from tfimm_tpu.models.serialization import save_model
         from tfimm_tpu.utils.export import export_model
 
-        self.model.params = self.params
-        save_model(self.model, save_dir)
+        # Deploy the EMA weights when averaging is on.
+        self.model.params = self.ema_params if self.ema_params is not None \
+            else self.params
         try:
-            export_model(self.model, os.path.join(save_dir, "model.stablehlo"),
-                         preprocessing=self.preprocessing,
-                         normalize_logits=True)
-        except Exception as e:  # polymorphic export can fail for exotic models
-            import logging
+            save_model(self.model, save_dir)
+            try:
+                export_model(self.model,
+                             os.path.join(save_dir, "model.stablehlo"),
+                             preprocessing=self.preprocessing,
+                             normalize_logits=True)
+            except Exception as e:  # polymorphic export can fail, non-fatal
+                import logging
 
-            logging.warning(f"jax.export deployment artifact failed: {e}")
+                logging.warning(f"jax.export deployment artifact failed: {e}")
+        finally:
+            self.model.params = self.params
 
 
 class _ModelShim:
