@@ -16,8 +16,15 @@ from tfimm_tpu.train.datasets import (  # noqa: F401
     ArrayDatasetConfig,
     GrainDataset,
     GrainDatasetConfig,
+    ImageFolderConfig,
+    ImageFolderDataset,
     TFDSConfig,
     TFDSWrapper,
+)
+from tfimm_tpu.train.transforms import (  # noqa: F401
+    Mixup,
+    random_flip_horizontal,
+    smooth_one_hot,
 )
 from tfimm_tpu.train.interface import ProblemBase  # noqa: F401
 from tfimm_tpu.train.model import (  # noqa: F401
