@@ -202,3 +202,23 @@ def test_pit_parity():
                              stride=4, embed_dim=(8, 16), nb_blocks=(1, 1),
                              nb_heads=(2, 2), nb_classes=10)
     _parity(jax_model, torch_model, (32, 32))
+
+
+def test_convmixer_parity():
+    from tests.torch_refs.convmixer_ref import TorchConvMixer
+
+    torch.manual_seed(7)
+    torch_model = TorchConvMixer(dim=8, depth=2, kernel_size=3, patch_size=8,
+                                 nb_classes=7)
+    jax_model = create_model("convmixer_test_model", nb_classes=7)
+    _parity(jax_model, torch_model, (32, 32))
+
+
+def test_vgg_parity():
+    from tests.torch_refs.vgg_ref import TorchVGG
+
+    torch.manual_seed(8)
+    torch_model = TorchVGG(layers=(4, "M", 4, "M"), nb_features=16,
+                           nb_classes=9)
+    jax_model = create_model("vgg_test_model", nb_classes=9)
+    _parity(jax_model, torch_model, (32, 32))
