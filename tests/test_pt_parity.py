@@ -222,3 +222,15 @@ def test_vgg_parity():
                            nb_classes=9)
     jax_model = create_model("vgg_test_model", nb_classes=9)
     _parity(jax_model, torch_model, (32, 32))
+
+
+def test_vit_hybrid_parity():
+    """Hybrid ViT end to end: non-preact ResNetV2 'same' backbone + patch
+    projection + transformer."""
+    from tests.torch_refs.vit_hybrid_ref import TorchViTHybrid
+
+    torch.manual_seed(9)
+    torch_model = TorchViTHybrid(input_size=32, depths=(1, 1), dim=8,
+                                 depth=1, nb_heads=2, nb_classes=6)
+    jax_model = create_model("vit_hybrid_test_model", nb_classes=6)
+    _parity(jax_model, torch_model, (32, 32))
