@@ -103,3 +103,47 @@ def test_init_ckpt_warm_start(tmp_path):
         np.asarray(problem2.params["head"]["kernel"]),
         np.asarray(problem.params["head"]["kernel"]),
     )
+
+
+def test_trainer_resume_restores_ema(tmp_path):
+    """EMA params ride the orbax checkpoint through a crash-resume."""
+    from tfimm_tpu.train import ClassificationConfig, ClassificationProblem
+
+    def make_problem(tk):
+        cfg = ClassificationConfig(
+            model=ModelConfig(model_name="vit_test_model", nb_classes=4),
+            model_class="ModelFactory",
+            optimizer=OptimizerConfig(
+                lr_schedule=LRConstConfig(lr=0.05),
+                lr_schedule_class="LRConstFactory",
+                optimizer="adam",
+            ),
+            optimizer_class="OptimizerFactory",
+            ema_decay=0.9,
+        )
+        return ClassificationProblem(cfg, timekeeping=tk)
+
+    tk = Timekeeping(nb_epochs=1, batch_size=8, nb_samples_per_epoch=16)
+    data = _make_data(16)
+    train_ds = ArrayDataset(ArrayDatasetConfig(batch_size=8), data=data)
+    problem = make_problem(tk)
+    trainer = Trainer(problem=problem, train_ds=train_ds, val_ds=None,
+                      timekeeping=tk,
+                      cfg=TrainerConfig(ckpt_dir=str(tmp_path / "ckpt"),
+                                        validation_before_training=False))
+    trainer.train()
+    ema_after = np.asarray(problem.ema_params["head"]["kernel"])
+    live_after = np.asarray(problem.params["head"]["kernel"])
+    assert not np.allclose(ema_after, live_after)  # EMA trails the live params
+
+    problem2 = make_problem(tk)
+    trainer2 = Trainer(problem=problem2, train_ds=train_ds, val_ds=None,
+                       timekeeping=tk,
+                       cfg=TrainerConfig(ckpt_dir=str(tmp_path / "ckpt"),
+                                         resume_from_ckpt=True,
+                                         validation_before_training=False))
+    trainer2._load_ckpt()
+    np.testing.assert_allclose(
+        np.asarray(problem2.ema_params["head"]["kernel"]), ema_after)
+    np.testing.assert_allclose(
+        np.asarray(problem2.params["head"]["kernel"]), live_after)
