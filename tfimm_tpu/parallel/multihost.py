@@ -5,6 +5,12 @@ up jax.distributed so `jax.devices()` spans the pod while data pipelines
 shard per host (`GrainDataset` uses process_index/process_count). Collectives
 ride ICI within a slice and DCN across slices — all inserted by XLA from the
 mesh shardings; nothing here touches transport.
+
+Ordering contract: `initialize()` must run before anything queries the JAX
+backend (`jax.devices()`, `jax.process_count()`, `jax.local_devices()`, any
+jitted call, ...). Once a backend exists, `jax.distributed.initialize` can no
+longer take effect, so this module never queries the backend on the
+initialize path.
 """
 
 from __future__ import annotations
@@ -15,18 +21,39 @@ import jax
 
 __all__ = ["initialize", "is_primary", "local_batch_size"]
 
+_initialized = False
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize jax.distributed (no-op on single-process setups where TPU
-    environment variables already provide the topology)."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    """Initialize jax.distributed for multi-process runs.
+
+    With explicit arguments, wires up the coordinator (CPU/GPU clusters or
+    manual TPU setups). With no arguments this is a no-op: single-process
+    runs need nothing, and Cloud TPU pod runtimes autodetect topology from
+    environment variables the moment the backend initializes.
+
+    Safe to call more than once; "already initialized" (by the runtime or a
+    previous call) is not an error. Crucially, this function performs NO
+    backend queries before `jax.distributed.initialize` — querying would
+    initialize a single-process backend and silently defeat the whole call.
+    """
+    global _initialized
+    if _initialized or coordinator_address is None:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # jax.distributed.initialize raises if the distributed system is
+        # already up (e.g. the TPU runtime initialized it). That is fine.
+        if "already" not in str(e) and "once" not in str(e):
+            raise
+    _initialized = True
 
 
 def is_primary() -> bool:
