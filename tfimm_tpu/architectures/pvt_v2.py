@@ -31,7 +31,7 @@ from tfimm_tpu.ops import (
     norm_layer_factory,
     trunc_normal,
 )
-from tfimm_tpu.ops.pool import avg_pool_2d
+from tfimm_tpu.ops.pool import adaptive_avg_pool_2d
 from tfimm_tpu.ops.stochastic import drop_path, dropout
 from tfimm_tpu.utils.constants import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
 
@@ -141,7 +141,9 @@ class SpatialReductionAttentionV2:
         if self.sr is not None:
             kv_in = x.reshape(b, *grid_size, d)
             if self.linear_sr:
-                kv_in = avg_pool_2d(kv_in, 7, 7, padding="VALID")
+                # PT reference: nn.AdaptiveAvgPool2d(7) — always a 7x7 KV
+                # grid, with adaptive (possibly overlapping) bin boundaries.
+                kv_in = adaptive_avg_pool_2d(kv_in, 7)
             kv_in = self.sr(p["sr"], kv_in).reshape(b, -1, d)
             kv_in = self.norm(p["norm"], kv_in)
             if self.linear_sr:

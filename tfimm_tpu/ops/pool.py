@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BlurPool2d", "avg_pool_2d", "max_pool_2d"]
+__all__ = ["BlurPool2d", "avg_pool_2d", "adaptive_avg_pool_2d", "max_pool_2d"]
 
 
 class BlurPool2d:
@@ -61,6 +61,33 @@ def avg_pool_2d_exclude_pad(x, window, stride=1):
         "SAME",
     )
     return summed / counts
+
+
+def adaptive_avg_pool_2d(x, output_size):
+    """PyTorch nn.AdaptiveAvgPool2d semantics for NHWC inputs.
+
+    Output bin ``i`` averages input rows ``[floor(i*H/out), ceil((i+1)*H/out))``
+    (and likewise for columns), so bins may overlap / have unequal sizes when
+    the input is not divisible. Implemented as two small matmuls with
+    numpy-precomputed pooling matrices (shapes are static under jit; the
+    matmuls map onto the MXU, unlike a gather-based formulation).
+    """
+    out_h, out_w = ((output_size, output_size)
+                    if isinstance(output_size, int) else output_size)
+    _, h, w, _ = x.shape
+
+    def pool_matrix(n_in, n_out):
+        m = np.zeros((n_out, n_in), dtype=np.float32)
+        for i in range(n_out):
+            start = (i * n_in) // n_out
+            end = -(-((i + 1) * n_in) // n_out)  # ceil
+            m[i, start:end] = 1.0 / (end - start)
+        return m
+
+    ph = jnp.asarray(pool_matrix(h, out_h), x.dtype)
+    pw = jnp.asarray(pool_matrix(w, out_w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", ph, x)
+    return jnp.einsum("pw,bowc->bopc", pw, x)
 
 
 def max_pool_2d(x, window, stride=None, padding="VALID"):
