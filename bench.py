@@ -1,26 +1,40 @@
 """Headline benchmark: ViT-B/16 inference images/sec/chip at batch 128.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference's published V100 fp32 number for vit_base_patch16_224
 inference (3865.84 img/s, results/profiling/v100.csv; see BASELINE.md).
+`roofline_fraction` reports value x FLOPs/img against v5e bf16 peak — the
+criterion BASELINE.json actually sets.
 
 Runs bf16 on the TPU chip (the TPU-native deployment dtype); fp32 params are
-cast, compute follows. Warm-up iteration excluded; blocked timing via
-block_until_ready.
+cast, compute follows.
+
+Timing methodology (both steps matter through the axon remote-TPU tunnel):
+  1. The whole loop runs on-device inside one jitted fori_loop with a data
+     dependency between iterations and only a SCALAR fetched back — naive
+     per-call block_until_ready timing measured "1.3M img/s" here (~240x
+     roofline, i.e. nothing).
+  2. DIFFERENTIAL timing: the same compiled function is timed at two
+     iteration counts and throughput comes from the slope. A single timed
+     call carries a fixed ~60 ms dispatch+readback overhead through the
+     tunnel (measured: the same per-iteration body costs "4.2 ms" at n=20
+     but "1.8 ms" at n=100), which the difference cancels exactly.
 """
 
-import functools
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 3865.84  # V100 fp32, results/profiling/v100.csv
+VIT_B16_FLOPS = 17.84e9  # per image at 224x224 (results/flops.csv)
+V5E_BF16_PEAK = 197e12  # TFLOP/s
 
 
 def main():
+    import jax.numpy as jnp
+
     from tfimm_tpu import create_model
 
     batch_size = 128
@@ -31,33 +45,37 @@ def main():
         rng.uniform(-1, 1, size=(batch_size, 224, 224, 3)), jnp.bfloat16
     )
 
-    # The whole timing loop runs on-device inside one jitted scan with a data
-    # dependency between iterations, and the result is fetched to host: this
-    # defeats async-dispatch/caching artifacts of remote TPU tunnels (naive
-    # block_until_ready timing measured "1.3M img/s" here, which is ~240x the
-    # bf16 roofline — i.e., it measured nothing).
-    @functools.partial(jax.jit, static_argnums=2)
+    @jax.jit
     def forward_n(params, x, n):
-        def body(carry, _):
+        def body(_, carry):
             y = model.apply(params, carry, training=False)
-            carry = carry + (y.mean() * 0).astype(carry.dtype)
-            return carry, y.mean()
-        return jax.lax.scan(body, x, None, length=n)[1]
+            return carry + (y.mean() * 0).astype(carry.dtype)
+        return jax.lax.fori_loop(0, n, body, x).mean()
 
     params = jax.device_put(model.params)
-    n_iters = 20
-    np.asarray(forward_n(params, images, n_iters))  # compile + warm-up
 
-    start = time.perf_counter()
-    np.asarray(forward_n(params, images, n_iters))
-    elapsed = time.perf_counter() - start
+    def timed(n):
+        start = time.perf_counter()
+        np.asarray(forward_n(params, images, n))
+        return time.perf_counter() - start
 
-    img_per_sec = batch_size * n_iters / elapsed
+    np.asarray(forward_n(params, images, 3))  # compile + warm-up
+    n1, n2 = 10, 60
+    t1 = timed(n1)
+    t2 = timed(n2)
+    # Guard against tunnel hiccups: retake the pair once if non-monotonic.
+    if t2 <= t1:
+        t1, t2 = timed(n1), timed(n2)
+
+    img_per_sec = batch_size * (n2 - n1) / (t2 - t1)
     result = {
         "metric": "vit_base_patch16_224_inference_bs128",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "roofline_fraction": round(
+            img_per_sec * VIT_B16_FLOPS / V5E_BF16_PEAK, 3
+        ),
     }
     print(json.dumps(result))
 

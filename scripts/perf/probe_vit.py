@@ -22,24 +22,29 @@ import numpy as np
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
-def timeit(fn, args, iters=20):
-    """On-device scan timing; returns seconds per iteration."""
+def timeit(fn, args, n1=10, n2=60):
+    """Differential on-device timing: slope between two iteration counts of
+    the SAME compiled fori_loop. Cancels the fixed ~60 ms dispatch/readback
+    overhead of the axon tunnel. Only a scalar is fetched back."""
 
-    @functools.partial(jax.jit, static_argnums=())
-    def run(args):
-        def body(carry, _):
+    @jax.jit
+    def run(args, n):
+        def body(_, carry):
             out = fn(*carry[1:], carry[0])
-            # fold a scalar of the output back into the first arg (data dep)
             c0 = carry[0] + (out.mean() * 0).astype(carry[0].dtype)
-            return (c0,) + carry[1:], ()
-        # Return ONLY a scalar: fetching a full array back through the axon
-        # tunnel costs tens of ms and would dominate the measurement.
-        return jax.lax.scan(body, args, None, length=iters)[0][0].mean()
+            return (c0,) + carry[1:]
+        return jax.lax.fori_loop(0, n, body, args)[0].mean()
 
-    np.asarray(jax.block_until_ready(run(args)))  # compile+warmup
-    t0 = time.perf_counter()
-    np.asarray(jax.block_until_ready(run(args)))
-    return (time.perf_counter() - t0) / iters
+    def timed(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.block_until_ready(run(args, n)))
+        return time.perf_counter() - t0
+
+    np.asarray(jax.block_until_ready(run(args, 3)))  # compile+warmup
+    t1, t2 = timed(n1), timed(n2)
+    if t2 <= t1:
+        t1, t2 = timed(n1), timed(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def report(name, secs, flops):
@@ -87,9 +92,7 @@ def main():
 
     # --- full MHA incl. qkv/proj and transposes ------------------------------
     from tfimm_tpu.ops.attention import MultiHeadAttention
-    from tfimm_tpu.core import Context, set_context
 
-    set_context(Context(training=False))
     mha = MultiHeadAttention(D, H)
     p_mha = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                          mha.init(jax.random.PRNGKey(0)))

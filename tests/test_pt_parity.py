@@ -191,6 +191,30 @@ def test_efficientnet_parity():
     _parity(jax_model, torch_model, (64, 64))
 
 
+def test_efficientnet_tf_same_padding_parity():
+    """The `tf_` variants' parity trap (SURVEY.md §7): TF/XLA SAME padding is
+    ASYMMETRIC for stride-2 convs on even inputs (e.g. pad (0,1) for k3 s2 on
+    32px), unlike PyTorch's symmetric (1,1). Exercises SAME stem conv,
+    stride-2 SAME dwconv (ir block), stride-2 SAME expansion conv (er block)
+    and BN eps 1e-3 — reference: tfimm/layers/conv.py:15-148 and the tf_
+    variant docstring tfimm/architectures/efficientnet.py:40-45."""
+    from tests.torch_refs.efficientnet_ref import TorchEfficientNetTF
+
+    torch.manual_seed(21)
+    torch_model = TorchEfficientNetTF(nb_classes=10)
+    # `efficientnet_b0` follows the reference naming: it is the TF-weights
+    # variant (timm tf_efficientnet_b0) with SAME padding + BN eps 1e-3.
+    jax_model = create_model("efficientnet_b0", input_size=(64, 64),
+                             stem_size=8, nb_features=32, nb_classes=10,
+                             drop_rate=0.0, drop_path_rate=0.0,
+                             architecture=(("ds_r1_k3_s1_e1_c8_se0.25",),
+                                           ("ir_r1_k3_s2_e4_c16_se0.25",),
+                                           ("er_r1_k3_s2_e4_c16",)))
+    assert jax_model.cfg.padding == "same"
+    assert jax_model.cfg.norm_layer == "batch_norm_tf"
+    _parity(jax_model, torch_model, (64, 64))
+
+
 def test_pit_parity():
     from tests.torch_refs.pit_ref import TorchPiT
 
