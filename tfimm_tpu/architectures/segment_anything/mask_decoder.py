@@ -38,8 +38,12 @@ class ConvTranspose2d:
         return p
 
     def __call__(self, p, x):
+        # PT ConvTranspose2d semantics == lax.conv_transpose with the kernel
+        # spatially FLIPPED (verified vs torch; a non-flipped kernel mirrors
+        # the taps inside each stride block). Params stay in PT tap order.
+        kernel = p["kernel"][::-1, ::-1].astype(x.dtype)
         y = jax.lax.conv_transpose(
-            x, p["kernel"].astype(x.dtype), strides=self.stride,
+            x, kernel, strides=self.stride,
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
