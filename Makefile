@@ -1,4 +1,4 @@
-.PHONY: test quality bench
+.PHONY: test quality style bench docs
 
 test:
 	python -m pytest tests/ -q
@@ -8,3 +8,14 @@ quality:
 
 bench:
 	python bench.py
+
+# Lint/format (mirror of the reference Makefile quality/style targets;
+# black/isort are optional — pyflakes is the gate that CI enforces).
+style:
+	black tfimm_tpu tests scripts 2>/dev/null || echo "black not installed"
+	isort tfimm_tpu tests scripts 2>/dev/null || echo "isort not installed"
+
+docs:
+	@python -c "import sphinx" 2>/dev/null || \
+	  (echo "sphinx not installed: pip install -e .[docs]" && exit 1)
+	sphinx-build -b html docs docs/_build/html

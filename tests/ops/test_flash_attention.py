@@ -182,3 +182,38 @@ def test_flash_relpos_gradients_match_reference():
     for a, bb, name in zip(g_ref, g_kernel, "qkv"):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=2e-4,
                                    rtol=2e-4, err_msg=f"d{name}")
+
+
+def test_fused_mha_matches_reference():
+    """Masked-pair fused MHA kernel vs the reference path (interpret mode)."""
+    import numpy as np
+
+    from tfimm_tpu.ops.attention import _reference_attention
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha
+
+    b, n, heads, d = 2, 197, 4, 64
+    dim = heads * d
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+
+    out = fused_mha(qkv, heads, d ** -0.5, interpret=True)
+
+    q, k, v = (qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+               for i in range(3))
+    ref, _ = _reference_attention(q, k, v, scale=d ** -0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, dim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mha_dispatch_conditions():
+    import numpy as np
+
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
+
+    qkv = jnp.zeros((1, 8, 3 * 256), jnp.float32)
+    # d=32 (8 heads) -> pairs are 64 lanes, must refuse
+    assert fused_mha_or_none(qkv, 8, 1.0) is None
+    # CPU backend -> refuse even for valid shapes
+    qkv = jnp.zeros((1, 8, 3 * 128), jnp.float32)
+    assert fused_mha_or_none(qkv, 2, 1.0) is None

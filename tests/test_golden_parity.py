@@ -29,7 +29,9 @@ from tfimm_tpu import create_model
 from tfimm_tpu.utils.pt_convert import load_pt_state_dict
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
-FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.npz")))
+# sam.npz is component-level and consumed by tests/models/test_sam_golden.py.
+FIXTURES = sorted(p for p in glob.glob(os.path.join(FIXTURE_DIR, "*.npz"))
+                  if not p.endswith("sam.npz"))
 
 
 def _load(path):

@@ -6,3 +6,4 @@ tfimm_tpu.ops.attention (which is also each kernel's parity oracle).
 """
 
 from tfimm_tpu.ops.pallas.flash_attention import flash_attention_or_none  # noqa: F401
+from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none  # noqa: F401

@@ -1,8 +1,11 @@
 """Flash attention (blockwise-softmax) Pallas TPU kernel.
 
-Covers the framework's attention workloads: ViT/CaiT/DeiT global attention
-(197–577 tokens), SAM's 4096-token image encoder, and — via the ``bias``
-argument — Swin windowed attention with relative-position bias.
+Covers the LONG-sequence regime: SAM's 4096-token image encoder (plain and,
+via flash_attention_relpos, decomposed rel-pos). It does NOT implement the
+``bias`` argument — biased attention (Swin's windowed rel-pos, N≈49–196)
+always takes the XLA path, which measured faster at those sizes anyway.
+Short unbiased sequences (ViT at N≈197) are served by the fused_mha kernel
+instead (tfimm_tpu/ops/pallas/fused_mha.py).
 
 The dispatcher returns None when the kernel does not apply (non-TPU backend,
 tiny shapes where the fallback is faster, or dtype/shape constraints), in which
