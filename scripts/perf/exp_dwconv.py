@@ -27,19 +27,16 @@ K = 7
 PAD = 3
 
 
-def _taps(x, w_ref, b_ref, acc_dtype):
-    """x: (H, W, C). 49 shifted MACs with zero edge masking."""
-    h, wdt, c = x.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, wdt, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, wdt, 1), 1)
-    acc = jnp.zeros((h, wdt, c), acc_dtype)
-    for dy in range(-PAD, PAD + 1):
-        for dx in range(-PAD, PAD + 1):
-            shifted = jnp.roll(x, (-dy, -dx), axis=(0, 1))
-            valid = ((rows + dy >= 0) & (rows + dy < h)
-                     & (cols + dx >= 0) & (cols + dx < wdt))
-            tap = w_ref[dy + PAD, dx + PAD].astype(acc_dtype)
-            acc = acc + jnp.where(valid, shifted, 0).astype(acc_dtype) * tap
+def _taps_from_pad(pad_ref, h, wdt, w_ref, b_ref, acc_dtype):
+    """49 static-slice MACs from a zero-padded VMEM scratch (one live
+    temporary at a time — concat-based shifting blew the Mosaic stack)."""
+    acc = None
+    for dy in range(K):
+        for dx in range(K):
+            shifted = pad_ref[dy:dy + h, dx:dx + wdt, :]
+            tap = w_ref[dy, dx].astype(acc_dtype)
+            term = shifted.astype(acc_dtype) * tap
+            acc = term if acc is None else acc + term
     return acc + b_ref[0].astype(acc_dtype)
 
 
@@ -47,8 +44,11 @@ def dwconv7(x, w, b, acc_dtype=jnp.float32, interpret=False):
     """x: (B, H, W, C); w: (7, 7, C); b: (C,)."""
     bsz, h, wdt, c = x.shape
 
-    def kernel(x_ref, w_ref, b_ref, o_ref):
-        o_ref[0] = _taps(x_ref[0], w_ref, b_ref, acc_dtype).astype(o_ref.dtype)
+    def kernel(x_ref, w_ref, b_ref, o_ref, pad_ref):
+        pad_ref[...] = jnp.zeros_like(pad_ref)
+        pad_ref[PAD:PAD + h, PAD:PAD + wdt, :] = x_ref[0]
+        o_ref[0] = _taps_from_pad(pad_ref, h, wdt, w_ref, b_ref,
+                                  acc_dtype).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -63,6 +63,7 @@ def dwconv7(x, w, b, acc_dtype=jnp.float32, interpret=False):
         out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2 * PAD, wdt + 2 * PAD, c), x.dtype)],
         interpret=interpret,
     )(x, w, b.reshape(1, -1))
 
@@ -71,8 +72,10 @@ def dwconv7_ln(x, w, b, ln_s, ln_b, eps=1e-6, interpret=False):
     """Fused dwconv7 + LayerNorm over channels."""
     bsz, h, wdt, c = x.shape
 
-    def kernel(x_ref, w_ref, b_ref, s_ref, lb_ref, o_ref):
-        y = _taps(x_ref[0], w_ref, b_ref, jnp.float32)
+    def kernel(x_ref, w_ref, b_ref, s_ref, lb_ref, o_ref, pad_ref):
+        pad_ref[...] = jnp.zeros_like(pad_ref)
+        pad_ref[PAD:PAD + h, PAD:PAD + wdt, :] = x_ref[0]
+        y = _taps_from_pad(pad_ref, h, wdt, w_ref, b_ref, jnp.float32)
         mean = y.mean(axis=-1, keepdims=True)
         var = jnp.maximum(jnp.square(y).mean(axis=-1, keepdims=True)
                           - jnp.square(mean), 0.0)
@@ -95,6 +98,7 @@ def dwconv7_ln(x, w, b, ln_s, ln_b, eps=1e-6, interpret=False):
         out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2 * PAD, wdt + 2 * PAD, c), x.dtype)],
         interpret=interpret,
     )(x, w, b.reshape(1, -1), ln_s.reshape(1, -1), ln_b.reshape(1, -1))
 
@@ -139,7 +143,7 @@ def main():
                "bias": b.astype(jnp.float32)}
         ref = np.asarray(dw(p32, x32))
         got = np.asarray(dwconv7(x32, w.astype(jnp.float32),
-                                 b.astype(jnp.float32)))
+                                 b.astype(jnp.float32), interpret=True))
         err = np.abs(got - ref).max()
 
         hbm = 2 * B * hw * hw * c * 2  # read + write bytes

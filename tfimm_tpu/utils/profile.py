@@ -1,16 +1,25 @@
 """Profiling utilities (reference: tfimm/utils/profile.py:45-205).
 
-``time_model`` measures inference or backprop throughput. TPU adaptation:
-naive host-side timing through an async dispatch tunnel measures nothing, so
-the timed loop runs on-device inside one jitted ``lax.scan`` with a data
-dependency between iterations, and completion is forced by a host readback.
+``time_model`` measures inference or backprop throughput. TPU adaptations
+(docs/profiling.md lists the traps in full):
+
+* the timed loop runs on-device inside one jitted ``fori_loop`` with a data
+  dependency between iterations (async dispatch would otherwise measure
+  nothing), with the loop count a TRACED argument so one executable serves
+  every count;
+* throughput is DIFFERENTIAL — the slope between two iteration counts —
+  which exactly cancels the fixed per-call dispatch/readback overhead
+  (~60 ms through remote-TPU tunnels; round-1 single-call numbers here
+  understated ViT-B by ~35%);
+* the backprop readback depends on every updated leaf, or XLA dead-code
+  eliminates most of the backward pass.
+
 ``find_max_batch_size`` binary-searches the largest batch that fits in HBM,
 catching XLA allocation errors.
 """
 
 from __future__ import annotations
 
-import functools
 import logging
 import time
 from typing import Tuple
@@ -32,6 +41,22 @@ def _input_for(model, batch_size: int, dtype):
     )
 
 
+def _slope_time(run_n, n1: int, n2: int) -> float:
+    """Seconds per iteration from the slope between two counts of the same
+    compiled callable (cancels fixed dispatch/readback overhead)."""
+
+    def timed(n):
+        t0 = time.perf_counter()
+        np.asarray(run_n(n))
+        return time.perf_counter() - t0
+
+    np.asarray(run_n(min(2, n1)))  # compile + warm up the one executable
+    t1, t2 = timed(n1), timed(n2)
+    if t2 <= t1:  # tunnel hiccup; retake once
+        t1, t2 = timed(n1), timed(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
 def time_model(
     model_name: str,
     target: str = "inference",
@@ -40,7 +65,11 @@ def time_model(
     dtype=jnp.bfloat16,
     model=None,
 ) -> float:
-    """Returns images/sec for inference or backprop at the given batch size."""
+    """Returns images/sec for inference or backprop at the given batch size.
+
+    ``nb_batches`` sets the short leg of the differential timing; the long
+    leg is 5x that.
+    """
     from tfimm_tpu import create_model
 
     model = model or create_model(model_name, dtype=dtype)
@@ -49,14 +78,15 @@ def time_model(
 
     if target == "inference":
 
-        @functools.partial(jax.jit, static_argnums=2)
-        def run_n(params, x, n):
-            def body(carry, _):
+        @jax.jit
+        def run(params, x, n):
+            def body(_, carry):
                 y = model.apply(params, carry, training=False)
                 out = y[0] if isinstance(y, tuple) else y
-                carry = carry + (out.sum() * 0).astype(carry.dtype)
-                return carry, out.reshape(-1)[0]
-            return jax.lax.scan(body, x, None, length=n)[1]
+                return carry + (out.sum() * 0).astype(carry.dtype)
+            return jax.lax.fori_loop(0, n, body, x).mean()
+
+        run_n = lambda n: run(params, x, n)  # noqa: E731
 
     elif target == "backprop":
         tx = optax.sgd(0.01)
@@ -67,33 +97,26 @@ def time_model(
             out = y[0] if isinstance(y, tuple) else y
             return out.astype(jnp.float32).mean()
 
-        @functools.partial(jax.jit, static_argnums=3)
-        def run_n(params, opt_state, x, n):
-            def body(carry, _):
+        @jax.jit
+        def run(params, opt_state, x, n):
+            def body(_, carry):
                 p, s = carry
                 grads = jax.grad(loss_fn)(p, x)
                 updates, s = tx.update(grads, s, p)
-                p = optax.apply_updates(p, updates)
-                return (p, s), jnp.float32(0)
-            (p, s), _ = jax.lax.scan(body, (params, opt_state), None, length=n)
+                return optax.apply_updates(p, updates), s
+            p, s = jax.lax.fori_loop(0, n, body, (params, opt_state))
             # Depend on EVERY updated leaf — fetching a single leaf lets XLA
             # dead-code-eliminate most of the backward pass (a head-bias
             # gradient needs no backprop at all).
             return sum(jnp.sum(leaf.astype(jnp.float32))
                        for leaf in jax.tree.leaves(p))
 
-        run_n = functools.partial(run_n, opt_state=opt_state)
-        run_n = lambda params, x, n, _f=run_n: _f(params, x=x, n=n)  # noqa: E731
+        run_n = lambda n: run(params, opt_state, x, n)  # noqa: E731
     else:
         raise ValueError(f"Unknown target: {target}")
 
-    # Warm up with the SAME static n — a different length would compile a
-    # different specialization inside the timed region.
-    np.asarray(run_n(params, x, nb_batches))
-    start = time.perf_counter()
-    np.asarray(run_n(params, x, nb_batches))
-    elapsed = time.perf_counter() - start
-    return batch_size * nb_batches / elapsed
+    secs = _slope_time(run_n, nb_batches, 5 * nb_batches)
+    return batch_size / secs
 
 
 def find_max_batch_size(
