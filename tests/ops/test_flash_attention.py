@@ -217,3 +217,36 @@ def test_fused_mha_dispatch_conditions():
     # CPU backend -> refuse even for valid shapes
     qkv = jnp.zeros((1, 8, 3 * 128), jnp.float32)
     assert fused_mha_or_none(qkv, 2, 1.0) is None
+
+
+def test_fused_mha_vjp_matches_autodiff():
+    """Custom-VJP backward (Pallas) vs XLA autodiff of the reference path."""
+    import numpy as np
+
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_diff
+
+    b, n, heads, d = 2, 64, 2, 64
+    dim = heads * d
+    scale = d ** -0.5
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+
+    def ref_fn(qkv):
+        q, k, v = (qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+                   for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(b, n, dim)
+
+    out_ref, vjp_ref = jax.vjp(ref_fn, qkv)
+    (dqkv_ref,) = vjp_ref(g)
+
+    out, vjp = jax.vjp(lambda q: fused_mha_diff(q, heads, scale, True), qkv)
+    (dqkv,) = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               atol=1e-4, rtol=1e-4)

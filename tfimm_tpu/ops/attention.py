@@ -93,16 +93,19 @@ class MultiHeadAttention:
         qkv = self.qkv(p["qkv"], x)
 
         want_weights = ctx.capture_features and feature_name is not None
-        if (not want_weights and not ctx.training
+        if (not want_weights
+                and not (ctx.training and self.attn_drop_rate > 0.0)
                 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"):
-            # Fused inference kernel straight from the packed qkv: no head
-            # transposes, scores never leave VMEM (1.5x over XLA at ViT-B
-            # shapes on v5e). Training keeps the differentiable XLA path.
+            # Fused kernel straight from the packed qkv: no head transposes,
+            # scores never leave VMEM (1.5x over XLA at ViT-B shapes on
+            # v5e). Differentiable (custom VJP with a Pallas backward), so
+            # training uses it too unless attention dropout is on.
             from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
 
             out = fused_mha_or_none(qkv, self.nb_heads, self.scale)
             if out is not None:
-                return self.proj(p["proj"], out)
+                out = self.proj(p["proj"], out)
+                return dropout(out, self.proj_drop_rate)
 
         qkv = qkv.reshape(b, n, 3, self.nb_heads, self.head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, d)

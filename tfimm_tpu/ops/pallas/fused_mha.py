@@ -30,6 +30,7 @@ the design): tfimm/architectures/vit.py:122-172 attention math.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -104,6 +105,100 @@ def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False):
     )(qkv, qkv, qkv)
 
 
+def _pair_attention_bwd(qp, kp, vp, gp, scale):
+    """Backward for one head pair. Recomputes the softmax (standard
+    flash-attention trade: N is short, so recompute beats storing p).
+
+    Returns (dq_pair, dk_pair, dv_pair), each (N, 128) f32.
+    """
+    n = qp.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    qf = qp.astype(jnp.float32) * scale
+    dq = dk = dv = None
+    for sel in (lane < 64, lane >= 64):
+        km = jnp.where(sel, kp, 0).astype(jnp.float32)
+        vm = jnp.where(sel, vp, 0).astype(jnp.float32)
+        gm = jnp.where(sel, gp, 0).astype(jnp.float32)
+        qm = jnp.where(sel, qp, 0).astype(jnp.float32)
+        s = jax.lax.dot_general(qf, km,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        # dv_h = p^T @ g_h   (lanes outside head h are zero in gm)
+        dv_h = jax.lax.dot_general(p, gm,
+                                   dimension_numbers=(((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        # dp_h = g_h @ v_h^T (both masked -> only head-h lanes contribute)
+        dp = jax.lax.dot_general(gm, vm,
+                                 dimension_numbers=(((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_h = scale * jax.lax.dot_general(
+            ds, km, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_h = scale * jax.lax.dot_general(
+            ds, qm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq = dq_h if dq is None else dq + dq_h
+        dk = dk_h if dk is None else dk + dk_h
+        dv = dv_h if dv is None else dv + dv_h
+    return dq, dk, dv
+
+
+def _fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=False):
+    """dL/dqkv for fused_mha, same packed layout as the input."""
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    n_pairs = nb_heads // 2
+
+    def spec(part):
+        return pl.BlockSpec((1, n, dim), lambda i, part=part: (i, 0, part),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+        for pp in range(n_pairs):
+            sl = slice(pp * 128, (pp + 1) * 128)
+            dq, dk, dv = _pair_attention_bwd(
+                q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+                g_ref[0, :, sl], scale,
+            )
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+    out_block = pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec(0), spec(1), spec(2),
+                  pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((b, n, dim), qkv.dtype)] * 3,
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_mha_diff(qkv, nb_heads: int, scale: float, interpret: bool = False):
+    """Differentiable fused MHA (custom VJP with a Pallas backward)."""
+    return fused_mha(qkv, nb_heads, scale, interpret=interpret)
+
+
+def _fused_mha_fwd(qkv, nb_heads, scale, interpret):
+    return fused_mha(qkv, nb_heads, scale, interpret=interpret), (qkv,)
+
+
+def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
+    (qkv,) = res
+    return (_fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=interpret),)
+
+
+fused_mha_diff.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -115,8 +210,8 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     """Dispatch: run the fused kernel when it applies, else return None.
 
     Conditions: TPU backend, head pairs are exactly 128 lanes (d=64, even H),
-    and one batch row's working set fits VMEM. Inference-only — callers must
-    route training through the differentiable XLA path (no custom VJP yet).
+    and one batch row's working set fits VMEM. Differentiable (custom VJP
+    with a Pallas backward kernel), so it serves training as well.
     """
     if not _on_tpu():
         return None
@@ -129,4 +224,4 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     vmem = 4 * n * dim * itemsize + 2 * n * n * 4
     if vmem > _VMEM_LIMIT_BYTES:
         return None
-    return fused_mha(qkv, nb_heads, scale)
+    return fused_mha_diff(qkv, nb_heads, scale)
