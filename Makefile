@@ -16,6 +16,6 @@ style:
 	isort tfimm_tpu tests scripts 2>/dev/null || echo "isort not installed"
 
 docs:
-	@python -c "import sphinx" 2>/dev/null || \
-	  (echo "sphinx not installed: pip install -e .[docs]" && exit 1)
-	sphinx-build -b html docs docs/_build/html
+	@python -c "import sphinx, myst_parser" 2>/dev/null \
+	  && sphinx-build -b html docs docs/_build/html \
+	  || python scripts/build_docs.py

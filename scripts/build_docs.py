@@ -1,0 +1,136 @@
+"""Static HTML docs builder — the no-Sphinx fallback for `make docs`.
+
+Renders every `docs/*.md` page to `docs/_build/html/` with the `markdown`
+package (fenced code + tables + pygments highlighting) and a small sidebar
+navigation generated from docs/index.md. When sphinx + myst-parser are
+installed, `make docs` uses the real Sphinx build instead (docs/conf.py);
+this script exists so the documentation is buildable in minimal
+environments, mirroring the role of the reference's RTD build
+(reference: docs/source/conf.py).
+"""
+
+import html
+import pathlib
+import re
+import shutil
+import sys
+
+import markdown
+
+DOCS = pathlib.Path(__file__).resolve().parent.parent / "docs"
+OUT = DOCS / "_build" / "html"
+
+PAGE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>{title} — tfimm-tpu</title>
+<style>
+body {{ margin: 0; font: 16px/1.55 -apple-system, "Segoe UI", Roboto, sans-serif;
+       color: #1a1a1a; }}
+.layout {{ display: flex; min-height: 100vh; }}
+nav {{ width: 230px; flex-shrink: 0; background: #f4f4f5; padding: 1.2rem 1rem;
+      border-right: 1px solid #e4e4e7; }}
+nav a {{ display: block; padding: .25rem 0; color: #3f3f46;
+        text-decoration: none; }}
+nav a.current {{ font-weight: 600; color: #0f766e; }}
+nav a:hover {{ color: #0f766e; }}
+main {{ max-width: 46rem; padding: 1.5rem 2.5rem 4rem; min-width: 0; }}
+pre {{ background: #f6f8fa; padding: .8rem 1rem; overflow-x: auto;
+      border-radius: 6px; font-size: 14px; }}
+code {{ font-family: ui-monospace, SFMono-Regular, Menlo, monospace;
+       font-size: .92em; }}
+:not(pre) > code {{ background: #f1f1f2; padding: .1em .3em;
+                    border-radius: 4px; }}
+table {{ border-collapse: collapse; display: block; overflow-x: auto; }}
+th, td {{ border: 1px solid #d4d4d8; padding: .35rem .6rem;
+         text-align: left; }}
+th {{ background: #fafafa; }}
+h1, h2, h3 {{ line-height: 1.25; }}
+a {{ color: #0f766e; }}
+{pygments}
+</style>
+</head>
+<body>
+<div class="layout">
+<nav>
+<p style="font-weight:700; margin-top:0"><a href="index.html"
+   style="color:#1a1a1a">tfimm-tpu</a></p>
+{nav}
+</nav>
+<main>
+{body}
+</main>
+</div>
+</body>
+</html>
+"""
+
+
+def _pygments_css() -> str:
+    try:
+        from pygments.formatters import HtmlFormatter
+
+        return HtmlFormatter(style="default").get_style_defs(".codehilite")
+    except Exception:
+        return ""
+
+
+def _nav_entries(index_text: str):
+    """Page order from the markdown link list in index.md."""
+    entries = [("index.md", "Overview")]
+    for match in re.finditer(r"^- \[([^\]]+)\]\(([^)]+\.md)\)", index_text,
+                             re.MULTILINE):
+        entries.append((match.group(2), match.group(1)))
+    listed = {name for name, _ in entries}
+    for page in sorted(DOCS.glob("*.md")):
+        if page.name not in listed:
+            title = page.name[:-3].replace("_", " ").title()
+            entries.append((page.name, title))
+    return entries
+
+
+def build() -> int:
+    if not DOCS.is_dir():
+        print(f"docs directory not found: {DOCS}", file=sys.stderr)
+        return 1
+    if OUT.exists():
+        shutil.rmtree(OUT)
+    OUT.mkdir(parents=True)
+
+    index_text = (DOCS / "index.md").read_text()
+    entries = _nav_entries(index_text)
+    pygments = _pygments_css()
+
+    md = markdown.Markdown(
+        extensions=["fenced_code", "tables", "codehilite", "toc"],
+        extension_configs={"codehilite": {"guess_lang": False}},
+    )
+    for name, title in entries:
+        text = (DOCS / name).read_text()
+        # Strip MyST toctree directives — navigation is the sidebar here.
+        text = re.sub(r"```\{toctree\}.*?```", "", text, flags=re.DOTALL)
+        md.reset()
+        body = md.convert(text)
+        # .md links -> .html so pages cross-link inside the build.
+        body = re.sub(r'href="([\w./-]+)\.md(#[\w-]*)?"',
+                      r'href="\1.html\2"', body)
+        nav = "\n".join(
+            f'<a href="{n[:-3]}.html"'
+            + (' class="current"' if n == name else "")
+            + f">{html.escape(t)}</a>"
+            for n, t in entries
+        )
+        out_name = name[:-3] + ".html"
+        (OUT / out_name).write_text(
+            PAGE.format(title=html.escape(title), nav=nav, body=body,
+                        pygments=pygments)
+        )
+        print(f"  wrote {out_name}")
+    print(f"Docs built at {OUT}/index.html ({len(entries)} pages)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(build())
