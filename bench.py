@@ -28,7 +28,9 @@ import jax
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 3865.84  # V100 fp32, results/profiling/v100.csv
-VIT_B16_FLOPS = 17.84e9  # per image at 224x224 (results/flops.csv)
+# results/flops.csv stores MACs (= FLOPs/2, the timm/tfimm table convention);
+# the roofline fraction needs true FLOPs: 17.84 GMACs -> 35.68 GFLOP/img.
+VIT_B16_FLOPS = 2 * 17.84e9  # per image at 224x224
 V5E_BF16_PEAK = 197e12  # TFLOP/s
 
 

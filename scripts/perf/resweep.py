@@ -69,7 +69,9 @@ def main():
         rate = time_model(name, target=target, batch_size=bs, nb_batches=5)
         # Backward+update costs ~3x the forward FLOPs (standard 1:2 fwd:bwd).
         mult = 3.0 if target == "backprop" else 1.0
-        rf = rate * mult * flops.get(name, 0) / PEAK if name in flops else ""
+        # flops.csv stores MACs (timm convention); true FLOPs = 2x.
+        rf = (rate * mult * 2 * flops.get(name, 0) / PEAK
+              if name in flops else "")
         rows.append([name, "bfloat16", bs, target, round(rate, 1),
                      v100 or "", v100m or "",
                      round(rf, 3) if rf != "" else ""])

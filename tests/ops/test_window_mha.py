@@ -1,0 +1,78 @@
+"""Fused windowed-MHA kernel (Swin) vs the XLA oracle, interpret mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfimm_tpu.ops.pallas.window_mha import window_mha, window_mha_diff
+
+
+def _reference(q, k, v, bias, mask, nb_heads, scale):
+    """The WindowAttention math (architectures/swin.py) without projections."""
+    bw, n, c = q.shape
+    d = c // nb_heads
+    qh, kh, vh = (t.reshape(bw, n, nb_heads, d).transpose(0, 2, 1, 3)
+                  for t in (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh) + bias[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        s = s.reshape(-1, nw, nb_heads, n, n) + mask[None, :, None]
+        s = s.reshape(bw, nb_heads, n, n)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+
+
+def _make(bw, n, c, nb_heads, nb_win, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.normal(size=(bw, n, c)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(nb_heads, n, n)), jnp.float32)
+    mask = (jnp.asarray(
+        np.where(rng.uniform(size=(nb_win, n, n)) > 0.8, -100.0, 0.0),
+        jnp.float32) if nb_win else None)
+    return q, k, v, bias, mask
+
+
+# (bw, n, c, heads, nb_win): Swin stage-1 (C=96 full-width path, shifted and
+# not), a 128-multiple C (grouped path), and d=64 heads.
+CASES = [
+    (8, 49, 96, 3, 4),
+    (8, 49, 96, 3, 0),
+    (8, 49, 256, 8, 4),
+    (4, 49, 128, 2, 0),
+    (4, 25, 192, 6, 2),
+]
+
+
+@pytest.mark.parametrize("bw,n,c,h,nw", CASES)
+def test_window_mha_forward(bw, n, c, h, nw):
+    q, k, v, bias, mask = _make(bw, n, c, h, nw)
+    scale = (c // h) ** -0.5
+    ref = _reference(q, k, v, bias, mask, h, scale)
+    out = window_mha(q, k, v, bias, mask, nb_heads=h, scale=scale,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bw,n,c,h,nw", [(8, 49, 96, 3, 4), (4, 49, 256, 8, 0)])
+def test_window_mha_grad(bw, n, c, h, nw):
+    q, k, v, bias, mask = _make(bw, n, c, h, nw, seed=1)
+    scale = (c // h) ** -0.5
+    w = jnp.asarray(np.random.default_rng(2).normal(size=(bw, n, c)),
+                    jnp.float32)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_reference(q, k, v, bias, mask, h, scale) * w)
+
+    def loss_kernel(q, k, v, bias):
+        return jnp.sum(window_mha_diff(q, k, v, bias, mask, h, scale, True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ker = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(g_ref, g_ker, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)

@@ -13,6 +13,7 @@ Paper: Swin Transformer, https://arxiv.org/abs/2103.14030.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tfimm_tpu.core import capture_feature
+from tfimm_tpu.core import capture_feature, current_context
 from tfimm_tpu.models.base import Model
 from tfimm_tpu.models.config import ModelConfig
 from tfimm_tpu.models.registry import register_model
@@ -155,6 +156,37 @@ class WindowAttention:
     def __call__(self, p, x, mask=None):
         bw, n, c = x.shape  # (B*nw, ws^2, C)
         h, hd = self.nb_heads, self.head_dim
+
+        ctx = current_context()
+        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and jax.default_backend() == "tpu"
+                and not (ctx.training and self.attn_drop_rate > 0.0)):
+            # Fused windowed-attention kernel: bias and shift mask are added
+            # to the scores in VMEM, heads contract at full lane width
+            # (tfimm_tpu/ops/pallas/window_mha.py). q/k/v are produced by
+            # three sliced matmuls instead of the packed qkv so the kernel
+            # operands need no re-layout copies. Differentiable (custom VJP
+            # incl. the bias-table gradient); unused ops are DCE'd when the
+            # dispatcher declines.
+            from tfimm_tpu.ops.pallas.window_mha import window_mha_or_none
+
+            wk = p["qkv"]["kernel"].astype(x.dtype)
+            bk = p["qkv"].get("bias")
+            parts = []
+            for i in range(3):
+                t = jnp.dot(x, wk[:, i * c:(i + 1) * c])
+                if bk is not None:
+                    t = t + bk[i * c:(i + 1) * c].astype(x.dtype)
+                parts.append(t)
+            bias = p["relative_position_bias_table"][
+                self.rel_pos_index.reshape(-1)
+            ].reshape(n, n, h).transpose(2, 0, 1)
+            out = window_mha_or_none(parts[0], parts[1], parts[2], bias,
+                                     mask, nb_heads=h, scale=self.scale)
+            if out is not None:
+                out = self.proj(p["proj"], out)
+                return dropout(out, self.proj_drop_rate)
+
         qkv = self.qkv(p["qkv"], x).reshape(bw, n, 3, h, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]

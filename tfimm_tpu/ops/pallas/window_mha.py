@@ -1,0 +1,374 @@
+"""Fused windowed multi-head attention with relative-position bias (Swin).
+
+Serves the short-window regime (N = window^2 = 49 or 144, head_dim 32) that
+neither flash_attention (long sequences) nor fused_mha (d=64 pairs, no bias)
+covers. Swin-T measured 6-24% of v5e peak per block on the XLA path — the
+batched (B*nW, H, 49, 49) attention runs d=32-contraction matmuls (MXU 25%
+lane occupancy at best) and round-trips the score tensor through HBM
+(~470 MB per stage-1 block at bs128). Reference for the role (not the
+design): tfimm/architectures/swin.py:111-200 (WindowAttention).
+
+Kernel strategy ("masked heads"): one grid program holds a chunk of Wb
+windows' q/k/v (N, C) blocks in VMEM. For head h the key/value lanes outside
+[h*d, (h+1)*d) are zeroed, so
+
+    s_h = q @ (k * mask_h)^T        # full-C-lane contraction on the MXU
+    out += softmax(s_h + bias_h [+ shift_mask_w]) @ (v * mask_h)
+
+contracts at full lane width (C >= 96) instead of d=32, and scores/softmax
+never leave VMEM. The per-head output term is nonzero only on head-h lanes,
+so the accumulated sum IS the concatenated multi-head output — no transposes
+anywhere. When C is a multiple of 128, heads are processed inside statically
+sliced 128-lane groups, which caps the masked-contraction overhead at
+128/d regardless of C (stages 3/4 of Swin, C=384/768).
+
+The relative-position bias (H, N, N) is broadcast to every program; the
+shifted-window mask (nW, N, N) is indexed by window position within the
+image. Both are added to the f32 scores before the in-VMEM softmax.
+
+Differentiable via a custom VJP with a Pallas backward kernel (recomputes
+the softmax; emits dq/dk/dv and the per-head score gradient reduced over
+windows, which is the bias-table gradient before the index scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["window_mha", "window_mha_or_none"]
+
+_VMEM_LIMIT_BYTES = 10 * 2 ** 20
+# Static unroll budget: windows-per-program * heads. Keeps Mosaic compile
+# times and kernel code size bounded across stages (H = 3..48).
+_MAX_UNROLL = 32
+
+
+def _head_groups(c: int, d: int):
+    """Static lane groups [(lane_offset, width), ...] covering C.
+
+    Full 128-lane groups plus one head-aligned tail (e.g. C=192, d=32 ->
+    [(0, 128), (128, 64)]), so the masked-contraction width never exceeds
+    128 lanes. C < 128 is a single group.
+    """
+    groups = []
+    off = 0
+    while off < c:
+        width = min(128, c - off)
+        width -= width % d
+        groups.append((off, width))
+        off += width
+    return groups
+
+
+_NEG_INF = -1e9
+
+
+def _pack_pair(q, k, v, bias, mask):
+    """Stack adjacent windows along N (block-diagonal attention).
+
+    Doubles the MXU M-stream per weight load: at N=49 the (49, C) matmuls
+    are latency-bound (cost ~max(M, K) cycles regardless of the tiny
+    output), so two windows per matmul halve the per-window cost. The
+    cross-window score quadrants are suppressed with an additive -1e9 in
+    the (f32) bias, which makes the per-window softmax exact.
+    """
+    bw, n, c = q.shape
+    q, k, v = (t.reshape(bw // 2, 2 * n, c) for t in (q, k, v))
+    h = bias.shape[0]
+    neg = jnp.full((h, n, n), _NEG_INF, jnp.float32)
+    bias = bias.astype(jnp.float32)
+    bias = jnp.concatenate([
+        jnp.concatenate([bias, neg], axis=2),
+        jnp.concatenate([neg, bias], axis=2),
+    ], axis=1)
+    if mask is not None:
+        m0, m1 = mask[0::2].astype(jnp.float32), mask[1::2].astype(jnp.float32)
+        zero = jnp.zeros_like(m0)
+        mask = jnp.concatenate([
+            jnp.concatenate([m0, zero], axis=2),
+            jnp.concatenate([zero, m1], axis=2),
+        ], axis=1)
+    return q, k, v, bias, mask
+
+
+def _can_pack(bw, n, nb_win, mask) -> bool:
+    return (n <= 64 and bw % 2 == 0
+            and (mask is None or nb_win % 2 == 0))
+
+
+def _pick_wb(bw: int, nb_heads: int, nb_win: int, has_mask: bool) -> int:
+    wb = max(1, _MAX_UNROLL // nb_heads)
+    while wb > 1 and (bw % wb or (has_mask and nb_win % wb)):
+        wb -= 1
+    return wb
+
+
+def _group_attention(qg, kg, vg, b_ref, mw, off: int, d: int, scale: float):
+    """Attention for the heads living in one lane group.
+
+    qg/kg/vg: (N, width) values; returns the (N, width) f32 output sum and
+    the list of per-head f32 probability matrices is NOT kept (recomputed in
+    the backward kernel).
+    """
+    n, width = qg.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    qf = qg.astype(jnp.float32) * scale
+    acc = None
+    for j in range(width // d):
+        h = (off + j * d) // d
+        sel = (lane >= j * d) & (lane < (j + 1) * d)
+        km = jnp.where(sel, kg, 0)
+        s = jax.lax.dot_general(
+            qf, km.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + b_ref[h]
+        if mw is not None:
+            s = s + mw
+        p = jax.nn.softmax(s, axis=-1)
+        vm = jnp.where(sel, vg, 0)
+        o = jax.lax.dot_general(
+            p.astype(vm.dtype), vm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = o if acc is None else acc + o
+    return acc
+
+
+def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
+               interpret: bool = False):
+    """q, k, v: (BW, N, C) with BW = batch * nb_windows (window-major inner).
+
+    bias: (H, N, N); mask: (nW, N, N) additive shift mask or None. Returns
+    (BW, N, C) in the dtype of q.
+    """
+    bw0, n0, c = q.shape
+    d = c // nb_heads
+    nb_win = mask.shape[0] if mask is not None else 1
+    if _can_pack(bw0, n0, nb_win, mask):
+        q, k, v, bias, mask = _pack_pair(q, k, v, bias, mask)
+        nb_win = max(1, nb_win // 2)
+    bw, n, _ = q.shape
+    wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
+    grid = (bw // wb,)
+
+    io_spec = pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [io_spec, io_spec, io_spec,
+                pl.BlockSpec((nb_heads, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [q, k, v, bias.astype(jnp.float32)]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((wb, n, n), lambda i: (i % (nb_win // wb), 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(mask.astype(jnp.float32))
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, *rest):
+        m_ref, o_ref = (rest if mask is not None else (None,) + rest)
+        for w in range(wb):
+            mw = m_ref[w] if m_ref is not None else None
+            for off, width in _head_groups(c, d):
+                out = _group_attention(
+                    q_ref[w, :, off:off + width],
+                    k_ref[w, :, off:off + width],
+                    v_ref[w, :, off:off + width],
+                    b_ref, mw, off, d, scale,
+                )
+                o_ref[w, :, off:off + width] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), q.dtype),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(bw0, n0, c)
+
+
+def _group_attention_bwd(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
+                         scale: float):
+    """Backward for one lane group. Returns (dq, dk, dv) (N, width) f32 and
+    the per-head score gradients [(h, ds), ...]."""
+    n, width = qg.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    qf = qg.astype(jnp.float32) * scale
+    dq = dk = dv = None
+    ds_heads = []
+    for j in range(width // d):
+        h = (off + j * d) // d
+        sel = (lane >= j * d) & (lane < (j + 1) * d)
+        km = jnp.where(sel, kg, 0).astype(jnp.float32)
+        vm = jnp.where(sel, vg, 0).astype(jnp.float32)
+        gm = jnp.where(sel, gg, 0).astype(jnp.float32)
+        qm = jnp.where(sel, qg, 0).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qf, km, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + b_ref[h]
+        if mw is not None:
+            s = s + mw
+        p = jax.nn.softmax(s, axis=-1)
+        dv_h = jax.lax.dot_general(
+            p, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            gm, vm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_heads.append((h, ds))
+        dq_h = scale * jax.lax.dot_general(
+            ds, km, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_h = scale * jax.lax.dot_general(
+            ds, qm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq = dq_h if dq is None else dq + dq_h
+        dk = dk_h if dk is None else dk + dk_h
+        dv = dv_h if dv is None else dv + dv_h
+    return dq, dk, dv, ds_heads
+
+
+def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
+                         interpret=False):
+    bw0, n0, c = q.shape
+    d = c // nb_heads
+    nb_win = mask.shape[0] if mask is not None else 1
+    packed = _can_pack(bw0, n0, nb_win, mask)
+    if packed:
+        q, k, v, bias, mask = _pack_pair(q, k, v, bias, mask)
+        g = g.reshape(bw0 // 2, 2 * n0, c)
+        nb_win = max(1, nb_win // 2)
+    bw, n, _ = q.shape
+    wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
+    grid = (bw // wb,)
+
+    io_spec = pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nb_heads, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [io_spec, io_spec, io_spec, bias_spec]
+    operands = [q, k, v, bias.astype(jnp.float32)]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((wb, n, n), lambda i: (i % (nb_win // wb), 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(mask.astype(jnp.float32))
+    in_specs.append(io_spec)
+    operands.append(g)
+
+    def kernel(q_ref, k_ref, v_ref, b_ref, *rest):
+        if mask is not None:
+            m_ref, g_ref, dq_ref, dk_ref, dv_ref, db_ref = rest
+        else:
+            g_ref, dq_ref, dk_ref, dv_ref, db_ref = rest
+            m_ref = None
+
+        # The dbias block has a constant index map, so it stays resident
+        # across the (sequential) grid and accumulates; program 0 zeroes it.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        for w in range(wb):
+            mw = m_ref[w] if m_ref is not None else None
+            for off, width in _head_groups(c, d):
+                dq, dk, dv, ds_heads = _group_attention_bwd(
+                    q_ref[w, :, off:off + width],
+                    k_ref[w, :, off:off + width],
+                    v_ref[w, :, off:off + width],
+                    g_ref[w, :, off:off + width],
+                    b_ref, mw, off, d, scale,
+                )
+                dq_ref[w, :, off:off + width] = dq.astype(dq_ref.dtype)
+                dk_ref[w, :, off:off + width] = dk.astype(dk_ref.dtype)
+                dv_ref[w, :, off:off + width] = dv.astype(dv_ref.dtype)
+                for h, ds in ds_heads:
+                    db_ref[h] += ds
+
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[io_spec, io_spec, io_spec, bias_spec],
+        out_shape=[jax.ShapeDtypeStruct((bw, n, c), q.dtype)] * 3
+        + [jax.ShapeDtypeStruct((nb_heads, n, n), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    if packed:
+        dq, dk, dv = (t.reshape(bw0, n0, c) for t in (dq, dk, dv))
+        # Fold the paired (H, 2N, 2N) bias gradient back onto the window
+        # bias: both diagonal quadrants saw the same bias table.
+        dbias = dbias[:, :n0, :n0] + dbias[:, n0:, n0:]
+    return dq, dk, dv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def window_mha_diff(q, k, v, bias, mask, nb_heads: int, scale: float,
+                    interpret: bool = False):
+    """Differentiable fused windowed MHA (custom VJP, Pallas backward)."""
+    return window_mha(q, k, v, bias, mask, nb_heads=nb_heads, scale=scale,
+                      interpret=interpret)
+
+
+def _window_mha_fwd(q, k, v, bias, mask, nb_heads, scale, interpret):
+    out = window_mha(q, k, v, bias, mask, nb_heads=nb_heads, scale=scale,
+                     interpret=interpret)
+    return out, (q, k, v, bias, mask)
+
+
+def _window_mha_bwd(nb_heads, scale, interpret, res, g):
+    q, k, v, bias, mask = res
+    dq, dk, dv, dbias = _window_mha_bwd_call(
+        q, k, v, bias, mask, g, nb_heads, scale, interpret=interpret)
+    dmask = jnp.zeros_like(mask) if mask is not None else None
+    return dq, dk, dv, dbias.astype(bias.dtype), dmask
+
+
+window_mha_diff.defvjp(_window_mha_fwd, _window_mha_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
+                       scale: float):
+    """Dispatch: fused windowed-attention kernel when it applies, else None.
+
+    Conditions: TPU backend, head dim in {16, 32, 64}, mask windows evenly
+    tile the batch, and a window chunk's working set fits VMEM. The kernel
+    is differentiable (bias gradient included), so training qualifies too.
+    """
+    if not _on_tpu():
+        return None
+    bw, n, c = q.shape
+    if c % nb_heads:
+        return None
+    d = c // nb_heads
+    if d not in (16, 32, 64) or c < d * 2:
+        return None
+    nb_win = mask.shape[0] if mask is not None else 1
+    if bw % nb_win:
+        return None
+    if _can_pack(bw, n, nb_win, mask):
+        n, bw, nb_win = 2 * n, bw // 2, max(1, nb_win // 2)
+    wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    vmem = (4 * wb * n * c * itemsize + nb_heads * n * n * 4
+            + (wb * n * n * 4 if mask is not None else 0))
+    if vmem > _VMEM_LIMIT_BYTES:
+        return None
+    return window_mha_diff(q, k, v, bias, mask, nb_heads, scale)
