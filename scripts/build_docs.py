@@ -10,6 +10,7 @@ environments, mirroring the role of the reference's RTD build
 """
 
 import html
+import inspect
 import pathlib
 import re
 import shutil
@@ -17,8 +18,78 @@ import sys
 
 import markdown
 
-DOCS = pathlib.Path(__file__).resolve().parent.parent / "docs"
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+DOCS = ROOT / "docs"
 OUT = DOCS / "_build" / "html"
+
+# Public API surface rendered into the generated api.md page, mirroring the
+# reference's per-module RTD pages (docs/source/content/api/*).
+API_MODULES = [
+    ("tfimm_tpu", ["create_model", "create_preprocessing", "list_models",
+                   "list_modules", "register_model", "transfer_weights",
+                   "get_dir", "set_dir", "set_model_cache",
+                   "clear_model_cache", "cached_model_path",
+                   "list_cached_models"]),
+    ("tfimm_tpu.models", ["ModelConfig", "Model", "EmbeddingModel",
+                          "save_model", "load_model"]),
+    ("tfimm_tpu.ops", ["MLP", "ConvMLP", "GluMLP", "GatedMLP",
+                       "PatchEmbeddings", "ClassifierHead", "SEModule",
+                       "EcaModule", "BlurPool2d", "StdConv2d",
+                       "interpolate_pos_embeddings",
+                       "interpolate_pos_embeddings_grid",
+                       "act_layer_factory", "norm_layer_factory",
+                       "attn_layer_factory"]),
+    ("tfimm_tpu.ops.attention", ["scaled_dot_product_attention",
+                                 "MultiHeadAttention"]),
+    ("tfimm_tpu.architectures.lora", ["create_model", "convert_to_lora_model",
+                                      "convert_to_regular_model",
+                                      "merge_lora_weights",
+                                      "lora_trainable_weights",
+                                      "register_lora_architecture"]),
+    ("tfimm_tpu.architectures.segment_anything", [
+        "SegmentAnythingModel", "SAMPredictor", "ImageResizer",
+        "SAMAutomaticMaskGenerator"]),
+    ("tfimm_tpu.parallel", ["create_mesh", "infer_param_sharding",
+                            "fsdp_param_sharding", "batch_sharding",
+                            "opt_state_sharding", "make_train_step",
+                            "make_eval_step"]),
+    ("tfimm_tpu.train", ["run", "ExperimentConfig", "Trainer",
+                         "TrainerConfig", "ProblemBase", "Timekeeping"]),
+    ("tfimm_tpu.utils.profile", ["time_model", "find_max_batch_size"]),
+    ("tfimm_tpu.utils.flops", ["get_flops", "get_parameters"]),
+]
+
+
+def _api_markdown() -> str:
+    """Signatures + first docstring paragraphs for the public API."""
+    sys.path.insert(0, str(ROOT))
+    lines = ["# API reference", "",
+             "Generated from the installed package by `scripts/build_docs.py`.",
+             ""]
+    import importlib
+
+    for mod_name, names in API_MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except Exception as exc:  # soft-dep module missing in this env
+            lines += [f"## `{mod_name}`", "", f"*(not importable here: {exc})*",
+                      ""]
+            continue
+        lines += [f"## `{mod_name}`", ""]
+        for name in names:
+            obj = getattr(mod, name, None)
+            if obj is None:
+                continue
+            try:
+                sig = str(inspect.signature(obj))
+            except (TypeError, ValueError):
+                sig = ""
+            doc = inspect.getdoc(obj) or ""
+            first = doc.split("\n\n")[0].replace("\n", " ") if doc else ""
+            lines += [f"### `{name}{sig}`", ""]
+            if first:
+                lines += [first, ""]
+    return "\n".join(lines)
 
 PAGE = """<!DOCTYPE html>
 <html lang="en">
@@ -101,6 +172,11 @@ def build() -> int:
 
     index_text = (DOCS / "index.md").read_text()
     entries = _nav_entries(index_text)
+    try:
+        api_md = _api_markdown()
+    except Exception as exc:
+        api_md = f"# API reference\n\n*(generation failed: {exc})*\n"
+    entries.append(("api.md", "API reference"))
     pygments = _pygments_css()
 
     md = markdown.Markdown(
@@ -108,7 +184,7 @@ def build() -> int:
         extension_configs={"codehilite": {"guess_lang": False}},
     )
     for name, title in entries:
-        text = (DOCS / name).read_text()
+        text = api_md if name == "api.md" else (DOCS / name).read_text()
         # Strip MyST toctree directives — navigation is the sidebar here.
         text = re.sub(r"```\{toctree\}.*?```", "", text, flags=re.DOTALL)
         md.reset()

@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--module", default="")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--start-batch-size", type=int, default=64)
+    parser.add_argument("--max-batch-size", type=int, default=None,
+                        help="cap the search (result becomes a lower bound); "
+                             "recommended through remote-compile tunnels")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -52,10 +55,12 @@ def main():
         try:
             inf_bs, inf_rate = find_max_batch_size(
                 name, "inference", start_batch_size=args.start_batch_size,
-                dtype=dtype)
+                dtype=dtype, max_batch_size=args.max_batch_size)
             bwd_bs, bwd_rate = find_max_batch_size(
                 name, "backprop", start_batch_size=args.start_batch_size // 4,
-                dtype=dtype)
+                dtype=dtype,
+                max_batch_size=(args.max_batch_size // 4
+                                if args.max_batch_size else None))
         except Exception as e:
             print(f"{name}: FAILED ({e})")
             continue

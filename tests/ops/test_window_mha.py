@@ -44,6 +44,7 @@ CASES = [
     (8, 49, 256, 8, 4),
     (4, 49, 128, 2, 0),
     (4, 25, 192, 6, 2),
+    (4, 144, 128, 4, 2),  # window-12 models (N > 64: no pairing)
 ]
 
 
@@ -76,3 +77,56 @@ def test_window_mha_grad(bw, n, c, h, nw):
     for a, b, name in zip(g_ref, g_ker, ["dq", "dk", "dv", "dbias"]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_swin_window_attention_integration(monkeypatch):
+    """Full WindowAttention: kernel dispatch path (interpret mode) vs the XLA
+    path — exercises the q/k/v weight slicing, bias gather/transpose and
+    shift-mask plumbing in architectures/swin.py, not just the kernel math."""
+    from tfimm_tpu.architectures.swin import (SwinTransformerConfig,
+                                              WindowAttention,
+                                              _attention_mask)
+    from tfimm_tpu.core import Context
+
+    cfg = SwinTransformerConfig(name="t", window_size=7)
+    attn = WindowAttention(cfg, embed_dim=96, nb_heads=3, window_size=7)
+    p = attn.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 49, 96)),
+                    jnp.float32)
+    mask = jnp.asarray(_attention_mask((14, 14), 7, 3))
+
+    with Context(training=False):
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+        ref = attn(p, x, mask=mask)
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+        out = attn(p, x, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_swin_model_kernel_path(monkeypatch):
+    """A small Swin end to end on the interpret-mode kernel path.
+
+    The registered swin_test_model has head_dim 2 (dispatcher declines), so
+    this uses a dedicated config with head_dim 16 and shifted 4x4 windows —
+    both shifted and unshifted blocks run through the kernel.
+    """
+    from tfimm_tpu.architectures.swin import (SwinTransformer,
+                                              SwinTransformerConfig)
+
+    cfg = SwinTransformerConfig(
+        name="swin_kernel_test", input_size=(32, 32), patch_size=4,
+        embed_dim=32, nb_blocks=(2,), nb_heads=(2,), window_size=4,
+        nb_classes=7, drop_path_rate=0.0,
+    )
+    model = SwinTransformer(cfg)
+    model.init(0)
+    x = np.random.default_rng(4).uniform(size=(2, 32, 32, 3)).astype("float32")
+    ref = np.asarray(model.predict(x))
+    # predict caches its jitted trace per instance — use a fresh instance
+    # (same params) so the kernel dispatch is actually re-traced.
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    model2 = SwinTransformer(cfg, params=model.params)
+    out = np.asarray(model2.predict(x))
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)

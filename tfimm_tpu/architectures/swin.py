@@ -159,7 +159,8 @@ class WindowAttention:
 
         ctx = current_context()
         if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("TFIMM_TPU_PALLAS_INTERPRET") == "1")
                 and not (ctx.training and self.attn_drop_rate > 0.0)):
             # Fused windowed-attention kernel: bias and shift mask are added
             # to the scores in VMEM, heads contract at full lane width

@@ -2,10 +2,11 @@
 
 Covers the LONG-sequence regime: SAM's 4096-token image encoder (plain and,
 via flash_attention_relpos, decomposed rel-pos). It does NOT implement the
-``bias`` argument — biased attention (Swin's windowed rel-pos, N≈49–196)
-always takes the XLA path, which measured faster at those sizes anyway.
-Short unbiased sequences (ViT at N≈197) are served by the fused_mha kernel
-instead (tfimm_tpu/ops/pallas/fused_mha.py).
+``bias`` argument: biased attention through THIS dispatcher falls back to
+XLA. Swin's windowed rel-pos attention (N≈49–144) is served by its own
+fused kernel (tfimm_tpu/ops/pallas/window_mha.py, dispatched from the Swin
+architecture directly); short unbiased sequences (ViT at N≈197) by the
+fused_mha kernel (tfimm_tpu/ops/pallas/fused_mha.py).
 
 The dispatcher returns None when the kernel does not apply (non-TPU backend,
 tiny shapes where the fallback is faster, or dtype/shape constraints), in which

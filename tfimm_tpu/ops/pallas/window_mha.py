@@ -344,6 +344,14 @@ def _on_tpu() -> bool:
         return False
 
 
+def _interpret_forced() -> bool:
+    """TFIMM_TPU_PALLAS_INTERPRET=1 runs the kernel in interpret mode on any
+    backend — lets CPU tests exercise the full dispatch/integration path."""
+    import os
+
+    return os.environ.get("TFIMM_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
                        scale: float):
     """Dispatch: fused windowed-attention kernel when it applies, else None.
@@ -352,7 +360,8 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     tile the batch, and a window chunk's working set fits VMEM. The kernel
     is differentiable (bias gradient included), so training qualifies too.
     """
-    if not _on_tpu():
+    interpret = _interpret_forced()
+    if not (_on_tpu() or interpret):
         return None
     bw, n, c = q.shape
     if c % nb_heads:
@@ -371,4 +380,4 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
             + (wb * n * n * 4 if mask is not None else 0))
     if vmem > _VMEM_LIMIT_BYTES:
         return None
-    return window_mha_diff(q, k, v, bias, mask, nb_heads, scale)
+    return window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret)

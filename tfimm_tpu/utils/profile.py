@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -124,33 +124,58 @@ def find_max_batch_size(
     target: str = "inference",
     start_batch_size: int = 256,
     dtype=jnp.bfloat16,
+    max_batch_size: Optional[int] = None,
 ) -> Tuple[int, float]:
     """Binary-search the largest power-of-two-ish batch size that fits in
-    device memory; returns (batch_size, img_per_sec)."""
+    device memory; returns (batch_size, img_per_sec).
+
+    ``max_batch_size`` caps the search (the result is then a lower bound on
+    the true maximum). Through remote-compile tunnels, huge-batch compiles
+    can fail with INTERNAL/HTTP errors instead of a clean RESOURCE_EXHAUSTED;
+    those are retried once (to rule out a transient) and then treated as
+    does-not-fit, so the sweep degrades to a conservative bound instead of
+    crashing.
+    """
     from tfimm_tpu import create_model
 
     model = create_model(model_name, dtype=dtype)
 
-    def try_batch(bs: int):
+    _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory",
+                    "exceeds the amount")
+    _INFRA_MARKERS = ("INTERNAL", "remote_compile", "HTTP", "DEADLINE")
+
+    def try_batch(bs: int, _retried=False):
         try:
             return time_model(model_name, target=target, batch_size=bs,
                               nb_batches=3, dtype=dtype, model=model)
         except Exception as e:  # XLA OOM surfaces as RuntimeError/XlaRuntimeError
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e) \
-                    or "exceeds the amount" in str(e):
+            msg = str(e)
+            if any(m in msg for m in _OOM_MARKERS):
                 logger.info(f"batch_size={bs} OOM")
+                return None
+            if any(m in msg for m in _INFRA_MARKERS):
+                if not _retried:
+                    logger.warning(f"batch_size={bs} infra error; retrying")
+                    return try_batch(bs, _retried=True)
+                logger.warning(
+                    f"batch_size={bs} repeated infra error; treating as "
+                    f"does-not-fit (result is a lower bound)")
                 return None
             raise
 
-    # Grow until OOM, then binary search between last good and first bad.
+    # Grow until OOM (or cap), then binary search between good and bad.
     good, good_rate = 0, 0.0
     bs = start_batch_size
-    while True:
+    while max_batch_size is None or bs <= max_batch_size:
         rate = try_batch(bs)
         if rate is None:
             break
         good, good_rate = bs, rate
         bs *= 2
+    else:
+        # Stopped at the cap without an OOM: the cap is the answer (a
+        # lower bound on the true maximum) — don't bisect past it.
+        return good, good_rate
     lo, hi = good, bs
     while hi - lo > max(lo // 8, 1):
         mid = (lo + hi) // 2
