@@ -402,10 +402,92 @@ def gen_hf_swin():
     )
 
 
+def gen_hf_resnet():
+    """HF transformers ResNet (torchvision-v1.5 semantics: stride on the 3x3)
+    vs our resnet50-config bottleneck path — the zoo's largest family."""
+    from transformers import ResNetConfig, ResNetForImageClassification
+
+    torch.manual_seed(107)
+    cfg = ResNetConfig(embedding_size=64, hidden_sizes=[32, 32, 64, 64],
+                       depths=[1, 1, 1, 1], layer_type="bottleneck",
+                       hidden_act="relu", num_labels=7,
+                       downsample_in_first_stage=False,
+                       downsample_in_bottleneck=False)
+    model = ResNetForImageClassification(cfg)
+    inp = fixed_image(107, 2, 64)
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(inp).permute(0, 3, 1, 2)).logits.numpy()
+
+    sd = _remap(dict(model.state_dict()), [
+        (r"^resnet\.embedder\.embedder\.convolution\.", "conv1."),
+        (r"^resnet\.embedder\.embedder\.normalization\.", "bn1."),
+        (r"^resnet\.encoder\.stages\.0\.", "layer1#"),
+        (r"^resnet\.encoder\.stages\.1\.", "layer2#"),
+        (r"^resnet\.encoder\.stages\.2\.", "layer3#"),
+        (r"^resnet\.encoder\.stages\.3\.", "layer4#"),
+        (r"#layers\.(\d+)\.shortcut\.convolution\.", r".\1.downsample.0."),
+        (r"#layers\.(\d+)\.shortcut\.normalization\.", r".\1.downsample.1."),
+        (r"#layers\.(\d+)\.layer\.0\.convolution\.", r".\1.conv1."),
+        (r"#layers\.(\d+)\.layer\.0\.normalization\.", r".\1.bn1."),
+        (r"#layers\.(\d+)\.layer\.1\.convolution\.", r".\1.conv2."),
+        (r"#layers\.(\d+)\.layer\.1\.normalization\.", r".\1.bn2."),
+        (r"#layers\.(\d+)\.layer\.2\.convolution\.", r".\1.conv3."),
+        (r"#layers\.(\d+)\.layer\.2\.normalization\.", r".\1.bn3."),
+        (r"^classifier\.1\.", "fc."),
+    ])
+    save_fixture(
+        "hf_resnet", sd, inp, out,
+        model_name="resnet50",
+        kwargs=dict(input_size=(64, 64), nb_blocks=(1, 1, 1, 1),
+                    nb_channels=(8, 8, 16, 16), nb_classes=7),
+        source="huggingface/transformers ResNetForImageClassification "
+               "(independent implementation; state_dict remapped to timm keys)",
+    )
+
+
+def gen_hf_bit():
+    """HF transformers BiT (pre-activation ResNetV2: weight-standardized
+    convs + GroupNorm + TF-SAME padding) vs our resnetv2 bitm path."""
+    from transformers import BitConfig, BitForImageClassification
+
+    torch.manual_seed(108)
+    # global_padding=None -> symmetric conv pads + zero-padded fixed-stem
+    # pool: exactly the reference's bitm default (conv_padding="symmetric",
+    # stem_type="fixed"). (HF's "SAME" mode zero-pads its dynamic maxpool
+    # where TF/timm SAME pads -inf, so the SAME configs are not comparable.)
+    cfg = BitConfig(embedding_size=64, hidden_sizes=[128, 256],
+                    depths=[1, 2], layer_type="preactivation",
+                    hidden_act="relu", num_labels=7, num_groups=32,
+                    global_padding=None, embedding_dynamic_padding=False,
+                    output_stride=32, drop_path_rate=0.0)
+    model = BitForImageClassification(cfg)
+    inp = fixed_image(108, 2, 64)
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(inp).permute(0, 3, 1, 2)).logits.numpy()
+
+    sd = _remap(dict(model.state_dict()), [
+        (r"^bit\.embedder\.convolution\.", "stem.conv."),
+        (r"^bit\.encoder\.stages\.(\d+)\.layers\.(\d+)\.", r"stages.\1.blocks.\2."),
+        (r"^bit\.norm\.", "norm."),
+        (r"^classifier\.1\.", "head.fc."),
+    ])
+    save_fixture(
+        "hf_bit", sd, inp, out,
+        model_name="resnetv2_50x1_bitm",
+        kwargs=dict(input_size=(64, 64), nb_blocks=(1, 2),
+                    nb_channels=(128, 256), nb_classes=7),
+        source="huggingface/transformers BitForImageClassification "
+               "(independent implementation; state_dict remapped to timm keys)",
+    )
+
+
 def main():
     install_timm_shim()
     for fn in (gen_poolformer, gen_pvt, gen_pvt_v2, gen_pvt_v2_linear,
-               gen_hf_vit, gen_hf_convnext, gen_hf_swin):
+               gen_hf_vit, gen_hf_convnext, gen_hf_swin, gen_hf_resnet,
+               gen_hf_bit):
         try:
             fn()
         except Exception as e:  # keep generating the rest; report at the end

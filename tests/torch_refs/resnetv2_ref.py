@@ -79,7 +79,11 @@ class TorchResNetV2(nn.Module):
 
     def forward(self, x):
         x = self.stem.conv(x)
-        x = F.max_pool2d(x, 3, 2, 1)
+        # timm's 'fixed' BiT stem zero-pads before the pool (ConstantPad2d
+        # with value 0) — torch's implicit maxpool padding would pad -inf,
+        # which differs wherever a border window is all-negative. Confirmed
+        # against HF transformers BitModel (tests/fixtures/golden/hf_bit.npz).
+        x = F.max_pool2d(F.pad(x, (1, 1, 1, 1), value=0.0), 3, 2, 0)
         for stage in self.stages:
             x = stage.blocks(x)
         x = torch.relu(self.norm(x))

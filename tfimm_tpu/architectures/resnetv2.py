@@ -208,8 +208,12 @@ class ResNetV2Stem:
         if not self.preact:
             x = self.act(self.norm(p["norm"], x))
         if self.stem_type == "fixed":
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                        constant_values=-jnp.inf)
+            # timm's 'fixed' BiT stem zero-pads before the pool
+            # (ConstantPad2d(1, 0.); reference: resnetv2.py:329
+            # ZeroPadding2D) — NOT -inf: a border window whose real values
+            # are all negative maxes to 0 there, and matching that is part
+            # of checkpoint parity (caught by the hf_bit golden fixture).
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             x = max_pool_2d(x, 3, 2, padding="VALID")
         elif self.stem_type == "same":
             x = max_pool_2d(x, 3, 2, padding="SAME")
