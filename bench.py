@@ -68,10 +68,15 @@ def _throughput(name, batch_size=128, n1=10, n2=60):
         return time.perf_counter() - start
 
     np.asarray(forward_n(params, images, 3))  # compile + warm-up
+    # Guard against tunnel hiccups: retake the pair until the slope is
+    # positive rather than publishing a zero/negative rate.
     t1, t2 = timed(n1), timed(n2)
-    # Guard against tunnel hiccups: retake the pair once if non-monotonic.
-    if t2 <= t1:
+    for _ in range(3):
+        if t2 > t1:
+            break
         t1, t2 = timed(n1), timed(n2)
+    if t2 <= t1:
+        raise RuntimeError(f"non-monotonic timing for {name}: {t1}s vs {t2}s")
     return batch_size * (n2 - n1) / (t2 - t1)
 
 

@@ -130,3 +130,24 @@ def test_swin_model_kernel_path(monkeypatch):
     model2 = SwinTransformer(cfg, params=model.params)
     out = np.asarray(model2.predict(x))
     np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
+
+
+def test_vit_fused_mha_integration(monkeypatch):
+    """MultiHeadAttention's fused-kernel dispatch branch (interpret mode) vs
+    the XLA path — covers the packed-qkv layout assumptions and proj tail in
+    ops/attention.py on CPU, like the Swin test above does for window_mha."""
+    from tfimm_tpu.core import Context
+    from tfimm_tpu.ops.attention import MultiHeadAttention
+
+    attn = MultiHeadAttention(dim=128, nb_heads=2)  # d=64: head-pair layout
+    p = attn.init(jax.random.PRNGKey(5))
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, 37, 128)),
+                    jnp.float32)
+    with Context(training=False):
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+        ref = attn(p, x)
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+        out = attn(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

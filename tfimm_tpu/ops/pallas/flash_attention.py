@@ -24,11 +24,7 @@ import jax.numpy as jnp
 __all__ = ["flash_attention_or_none"]
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from tfimm_tpu.ops.pallas.dispatch import on_tpu as _on_tpu
 
 
 def flash_attention_or_none(q, k, v, bias=None, scale: Optional[float] = None):

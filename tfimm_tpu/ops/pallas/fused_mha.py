@@ -23,9 +23,10 @@ ever happens; FLOP count equals what the MXU would spend padding d=64->128
 anyway. Scores/softmax stay in float32; N is left unpadded (block dim ==
 array dim is allowed, and softmax over the exact N lanes needs no masking).
 
-Inference-only: the dispatcher requires no-grad usage; training falls back to
-the XLA path (differentiable by construction). Reference for the role (not
-the design): tfimm/architectures/vit.py:122-172 attention math.
+Differentiable: a custom VJP pairs the forward with a Pallas backward
+kernel (softmax recomputed, standard flash trade), so the dispatcher serves
+training as well as inference. Reference for the role (not the design):
+tfimm/architectures/vit.py:122-172 attention math.
 """
 
 from __future__ import annotations
@@ -199,11 +200,8 @@ def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
 fused_mha_diff.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from tfimm_tpu.ops.pallas.dispatch import interpret_forced as _interpret_forced
+from tfimm_tpu.ops.pallas.dispatch import on_tpu as _on_tpu
 
 
 def fused_mha_or_none(qkv, nb_heads: int, scale: float):
@@ -213,7 +211,8 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     and one batch row's working set fits VMEM. Differentiable (custom VJP
     with a Pallas backward kernel), so it serves training as well.
     """
-    if not _on_tpu():
+    interpret = _interpret_forced()
+    if not (_on_tpu() or interpret):
         return None
     b, n, three_d = qkv.shape
     dim = three_d // 3
@@ -224,4 +223,4 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     vmem = 4 * n * dim * itemsize + 2 * n * n * 4
     if vmem > _VMEM_LIMIT_BYTES:
         return None
-    return fused_mha_diff(qkv, nb_heads, scale)
+    return fused_mha_diff(qkv, nb_heads, scale, interpret)

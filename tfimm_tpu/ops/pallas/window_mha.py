@@ -337,19 +337,8 @@ def _window_mha_bwd(nb_heads, scale, interpret, res, g):
 window_mha_diff.defvjp(_window_mha_fwd, _window_mha_bwd)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
-def _interpret_forced() -> bool:
-    """TFIMM_TPU_PALLAS_INTERPRET=1 runs the kernel in interpret mode on any
-    backend — lets CPU tests exercise the full dispatch/integration path."""
-    import os
-
-    return os.environ.get("TFIMM_TPU_PALLAS_INTERPRET", "0") == "1"
+from tfimm_tpu.ops.pallas.dispatch import interpret_forced as _interpret_forced
+from tfimm_tpu.ops.pallas.dispatch import on_tpu as _on_tpu
 
 
 def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,

@@ -52,8 +52,15 @@ def _slope_time(run_n, n1: int, n2: int) -> float:
 
     np.asarray(run_n(min(2, n1)))  # compile + warm up the one executable
     t1, t2 = timed(n1), timed(n2)
-    if t2 <= t1:  # tunnel hiccup; retake once
+    for _ in range(3):  # tunnel hiccups; retake until the slope is positive
+        if t2 > t1:
+            return (t2 - t1) / (n2 - n1)
         t1, t2 = timed(n1), timed(n2)
+    if t2 <= t1:
+        raise RuntimeError(
+            f"differential timing failed: {n1} iterations took {t1:.4f}s but "
+            f"{n2} took {t2:.4f}s after retries — dispatch overhead dominates "
+            f"(increase nb_batches) or the transport is unstable")
     return (t2 - t1) / (n2 - n1)
 
 
@@ -166,6 +173,8 @@ def find_max_batch_size(
     # Grow until OOM (or cap), then binary search between good and bad.
     good, good_rate = 0, 0.0
     bs = start_batch_size
+    if max_batch_size is not None:
+        bs = min(bs, max_batch_size)  # a cap below the start is the start
     while max_batch_size is None or bs <= max_batch_size:
         rate = try_batch(bs)
         if rate is None:
