@@ -3,8 +3,14 @@
 test:
 	python -m pytest tests/ -q
 
+# pyflakes when installed; otherwise the AST subset in scripts/lint.py
+# (unused imports, duplicate defs, ==None, placeholder-free f-strings).
 quality:
-	python -m pyflakes tfimm_tpu || true
+	@if python -c "import pyflakes" 2>/dev/null; then \
+	  python -m pyflakes tfimm_tpu tests scripts; \
+	else \
+	  python scripts/lint.py tfimm_tpu tests scripts; \
+	fi
 
 bench:
 	python bench.py

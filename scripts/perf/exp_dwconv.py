@@ -10,7 +10,6 @@ Variants:
   C) fused dwconv + LayerNorm (saves one HBM round trip of the block input)
 """
 
-import functools
 import os
 import sys
 import time

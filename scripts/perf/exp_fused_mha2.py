@@ -7,7 +7,6 @@ V3: V2 + softmax without the max pass (scores are bounded for trained ViTs;
 V4: V2 but two batch rows per program, grid (B/2,).
 """
 
-import functools
 import os
 import sys
 import time

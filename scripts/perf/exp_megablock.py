@@ -9,7 +9,6 @@ Baseline: the current composite path (XLA LN/projections + fused_mha kernel).
 Numerics oracle: ViTBlock in f32.
 """
 
-import functools
 import os
 import sys
 import time

@@ -6,7 +6,6 @@ with NO mean-folding (data dependency through the activations themselves),
 and iteration-count sensitivity.
 """
 
-import functools
 import os
 import sys
 import time

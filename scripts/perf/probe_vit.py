@@ -8,7 +8,6 @@ achieved TFLOP/s and fraction of v5e bf16 peak (~197 TFLOP/s).
 Usage: python scripts/perf/probe_vit.py
 """
 
-import functools
 import os
 import sys
 import time

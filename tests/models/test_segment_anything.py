@@ -13,7 +13,6 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 from tfimm_tpu.models.registry import model_entrypoint  # noqa: E402
-from tfimm_tpu.utils.pt_convert import convert_pt_state_dict  # noqa: E402
 from tfimm_tpu.utils.tree import flatten_params, unflatten_params  # noqa: E402
 import tfimm_tpu.architectures.segment_anything  # noqa: F401, E402
 

@@ -2,7 +2,6 @@
 (stem.0 / stem.2 / blocks.N.0.fn.{0,2} / blocks.N.{1,3} / head), used as
 parity ground truth. Written from the paper (arXiv:2201.09792), not copied."""
 
-import torch
 import torch.nn as nn
 
 

@@ -1,7 +1,6 @@
 """Ground-truth PyTorch MLP-Mixer / gMLP for converter/parity tests
 (independent implementation with timm state_dict naming)."""
 
-import torch
 import torch.nn as nn
 
 

@@ -1,6 +1,5 @@
 """Ground-truth PyTorch PVTv2 (and SRA) for parity tests (official naming)."""
 
-import torch
 import torch.nn as nn
 
 

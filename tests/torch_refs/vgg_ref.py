@@ -2,7 +2,6 @@
 (features.N / pre_logits.fc1 / pre_logits.fc2 / head.fc), used as parity
 ground truth. Written from the paper (arXiv:1409.1556), not copied."""
 
-import torch
 import torch.nn as nn
 
 

@@ -2,7 +2,6 @@
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from tfimm_tpu.train import (
     ArrayDataset,

@@ -3,7 +3,6 @@ with checkpoint save + crash-resume (reference has NO trainer test — this
 exceeds its coverage)."""
 
 import numpy as np
-import pytest
 
 from tfimm_tpu.train import (
     ArrayDataset,

@@ -4,7 +4,6 @@ FLOPs/profile coverage."""
 import os
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from tfimm_tpu.ops import Conv2d, Dense
-from tfimm_tpu.ops.basic import zeros_init
 
 __all__ = ["LoRADense", "LoRAConv2d", "convert_to_lora_layer",
            "LORA_WEIGHT_NAMES", "merge_kernel"]

@@ -21,7 +21,6 @@ from tfimm_tpu.models.base import Model
 from tfimm_tpu.models.config import ModelConfig
 from tfimm_tpu.models.registry import register_model
 from tfimm_tpu.ops import ConvMLP, Dense, PatchEmbeddings, norm_layer_factory, trunc_normal
-from tfimm_tpu.ops.basic import zeros_init
 from tfimm_tpu.ops.pool import avg_pool_2d_exclude_pad
 from tfimm_tpu.ops.stochastic import drop_path
 from tfimm_tpu.utils.constants import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD

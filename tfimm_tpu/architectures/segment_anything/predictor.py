@@ -9,7 +9,6 @@ specialization of the light decoder graph; the cached encoder graph is reused.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Callable, Optional, Tuple
 

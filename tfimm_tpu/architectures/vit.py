@@ -27,7 +27,6 @@ from tfimm_tpu.ops import (
     MLP,
     MultiHeadAttention,
     PatchEmbeddings,
-    act_layer_factory,
     interpolate_pos_embeddings,
     norm_layer_factory,
     trunc_normal,

@@ -11,7 +11,6 @@ Paper: ViT (hybrid variants), https://arxiv.org/abs/2010.11929.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from tfimm_tpu.architectures.resnetv2 import ResNetV2, ResNetV2Config, ResNetV2Stem
 from tfimm_tpu.architectures.vit import ViT, ViTConfig

@@ -23,7 +23,6 @@ import threading
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 __all__ = [
     "Context",

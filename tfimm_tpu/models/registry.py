@@ -11,7 +11,7 @@ import fnmatch
 import sys
 from collections import defaultdict
 from copy import deepcopy
-from typing import Callable, Dict, List, Optional, Set, Tuple, Type, Union
+from typing import Callable, Dict, List, Optional, Set, Tuple, Union
 
 __all__ = ["register_model", "list_models", "list_modules", "is_model",
            "model_class", "model_config", "model_entrypoint", "architecture_class"]

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 
 from tfimm_tpu.ops.basic import Dense
 from tfimm_tpu.ops.stochastic import dropout

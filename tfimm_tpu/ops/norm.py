@@ -11,7 +11,6 @@ dtype (bf16-safe), then the result is cast back.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

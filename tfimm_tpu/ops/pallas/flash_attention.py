@@ -15,11 +15,8 @@ case callers use the pure-JAX reference implementation.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 
 __all__ = ["flash_attention_or_none"]
 

@@ -32,7 +32,6 @@ tfimm/architectures/vit.py:122-172 attention math.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

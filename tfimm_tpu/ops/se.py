@@ -6,7 +6,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 
 from tfimm_tpu.ops.basic import act_layer_factory
 from tfimm_tpu.ops.conv import Conv2d

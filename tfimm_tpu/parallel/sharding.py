@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 from typing import List, Sequence, Tuple
 
-import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tfimm_tpu.utils.tree import flatten_params, unflatten_params

@@ -10,7 +10,7 @@ bf16 and keep params/optimizer state in f32.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Tuple
 
 import optax

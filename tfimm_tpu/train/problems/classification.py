@@ -8,7 +8,6 @@ needed for bf16. ``save_model`` exports via tfimm_tpu.save_model.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Any
 
@@ -18,7 +17,7 @@ import numpy as np
 import optax
 
 from tfimm_tpu.parallel import make_train_step
-from tfimm_tpu.parallel.step import cross_entropy_loss, merge_state_updates
+from tfimm_tpu.parallel.step import cross_entropy_loss
 from tfimm_tpu.train.interface import ProblemBase
 from tfimm_tpu.train.registry import cfg_serializable, get_class
 

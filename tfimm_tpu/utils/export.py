@@ -11,7 +11,7 @@ that any JAX (or XLA-compatible) runtime can execute.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ FLOPs and MACs = FLOPs / 2 so numbers are comparable with timm/tfimm tables).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
