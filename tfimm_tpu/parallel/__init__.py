@@ -6,6 +6,10 @@ from tfimm_tpu.parallel.sharding import (  # noqa: F401
     replicated,
     DEFAULT_TP_RULES,
 )
+from tfimm_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_block_params,
+)
 from tfimm_tpu.parallel.step import (  # noqa: F401
     make_eval_step,
     make_train_step,
