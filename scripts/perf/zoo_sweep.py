@@ -1,0 +1,136 @@
+"""Broad fixed-batch throughput sweep across the zoo -> results/v5e_zoo.csv.
+
+The reference publishes ~181-model CSVs (results/profiling/v100.csv); the
+15-model representative sweep (resweep.py) covers every family but not every
+size. This measures inference + backprop img/s at fixed per-model batch
+sizes (2 compiles per model instead of a max-batch search — the search is
+unreliable through the remote-compile tunnel anyway) with differential
+timing, appending to a resumable CSV.
+
+Run:  python scripts/perf/zoo_sweep.py [--limit N]
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+# (model, inference_bs, backprop_bs); sizes chosen to fit v5e 16 GB with
+# headroom at the model's native input size.
+ZOO = [
+    ("vit_tiny_patch16_224", 256, 128),
+    ("vit_small_patch16_224", 256, 128),
+    ("vit_base_patch16_224", 128, 64),
+    ("vit_large_patch16_224", 64, 32),
+    ("vit_base_patch16_384", 32, 16),
+    ("deit_small_patch16_224", 256, 128),
+    ("deit_base_distilled_patch16_224", 128, 64),
+    ("vit_small_r26_s32_224", 128, 64),
+    ("vit_base_r50_s16_384", 16, 8),
+    ("cait_xxs24_224", 128, 64),
+    ("cait_s24_224", 128, 64),
+    ("cait_m36_384", 16, 8),
+    ("swin_tiny_patch4_window7_224", 128, 64),
+    ("swin_small_patch4_window7_224", 128, 64),
+    ("swin_base_patch4_window7_224", 64, 32),
+    ("swin_base_patch4_window12_384", 16, 8),
+    ("mixer_b16_224", 128, 64),
+    ("mixer_l16_224", 64, 32),
+    ("resmlp_12_224", 256, 128),
+    ("resmlp_36_224", 128, 64),
+    ("gmlp_s16_224", 128, 64),
+    ("convmixer_768_32", 64, 32),
+    ("convmixer_1536_20", 32, 16),
+    ("convnext_tiny", 128, 64),
+    ("convnext_small", 128, 64),
+    ("convnext_base", 128, 64),
+    ("convnext_large", 64, 32),
+    ("poolformer_s12", 256, 128),
+    ("poolformer_m36", 64, 32),
+    ("pvt_tiny", 256, 128),
+    ("pvt_small", 128, 64),
+    ("pvt_v2_b0", 256, 128),
+    ("pvt_v2_b2", 128, 64),
+    ("pit_ti_224", 256, 128),
+    ("pit_s_224", 128, 64),
+    ("resnet18", 256, 128),
+    ("resnet34", 256, 128),
+    ("resnet50", 256, 128),
+    ("resnet101", 128, 64),
+    ("resnet152", 128, 64),
+    ("wide_resnet50_2", 128, 64),
+    ("seresnet50", 256, 128),
+    ("ecaresnet50d", 256, 128),
+    ("resnetv2_50x1_bitm", 32, 16),
+    ("resnetv2_101x1_bitm", 16, 8),
+    ("vgg11", 128, 64),
+    ("vgg16", 128, 64),
+    ("vgg19", 128, 64),
+    ("efficientnet_b0", 256, 128),
+    ("efficientnet_b1", 192, 96),
+    ("efficientnet_b2", 128, 64),
+    ("efficientnet_b3", 96, 48),
+    ("efficientnet_b4", 48, 24),
+    ("efficientnet_b0_ap", 256, 128),
+    ("efficientnet_lite0", 256, 128),
+    ("efficientnet_v2_s", 64, 32),
+    ("efficientnet_v2_m", 32, 16),
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--results-file", default=os.path.join(
+        os.path.dirname(__file__), "..", "..", "results", "v5e_zoo.csv"))
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args()
+
+    from tfimm_tpu import list_models
+    from tfimm_tpu.models.registry import model_config
+    from tfimm_tpu.utils.profile import time_model
+
+    known = set(list_models())
+    done = set()
+    if os.path.exists(args.results_file):
+        with open(args.results_file) as f:
+            done = {row["model"] for row in csv.DictReader(f)}
+    write_header = not os.path.exists(args.results_file)
+
+    fields = ["model", "image_size", "dtype", "inference_batch_size",
+              "backprop_batch_size", "inference_img_per_sec",
+              "backprop_img_per_sec"]
+    n_done = 0
+    for name, ibs, bbs in ZOO:
+        if name in done:
+            continue
+        if name not in known:
+            print(f"{name}: not registered, skipping", flush=True)
+            continue
+        if args.limit is not None and n_done >= args.limit:
+            break
+        try:
+            inf = time_model(name, target="inference", batch_size=ibs,
+                             nb_batches=5)
+            bwd = time_model(name, target="backprop", batch_size=bbs,
+                             nb_batches=3)
+        except Exception as e:  # keep sweeping past tunnel hiccups
+            print(f"{name}: FAILED ({type(e).__name__}: {e})", flush=True)
+            continue
+        size = model_config(name).input_size[0]
+        row = dict(zip(fields, [name, size, "bfloat16", ibs, bbs,
+                                round(inf, 1), round(bwd, 1)]))
+        with open(args.results_file, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            if write_header:
+                w.writeheader()
+                write_header = False
+            w.writerow(row)
+        print(row, flush=True)
+        n_done += 1
+    print("zoo sweep done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
