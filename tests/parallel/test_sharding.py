@@ -180,3 +180,23 @@ def test_opt_state_sharding_follows_params():
         p_shard["head"]["kernel"].spec
     # The step counter is replicated.
     assert adam_state.count.spec == jax.sharding.PartitionSpec()
+
+
+def test_spatial_sharding_forward_matches_replicated():
+    """sp: input sharded over batch AND image height — GSPMD propagates the
+    spatial sharding (halo exchanges for convs / gathers for attention) and
+    the result matches the replicated forward."""
+    from tfimm_tpu.parallel import spatial_sharding
+
+    model = create_model("vit_test_model")  # 32x32 input, patch 8
+    mesh = create_mesh((2, 4), ("data", "seq"))
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(model.predict(images))
+
+    sharded = jax.device_put(images, spatial_sharding(mesh))
+    with mesh:
+        out = jax.jit(
+            lambda p, x: model.apply(p, x, training=False)
+        )(model.params, sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)

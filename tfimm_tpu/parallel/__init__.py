@@ -1,6 +1,7 @@
 from tfimm_tpu.parallel.mesh import create_mesh  # noqa: F401
 from tfimm_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    spatial_sharding,
     fsdp_param_sharding,
     infer_param_sharding,
     replicated,

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tfimm_tpu.utils.tree import flatten_params, unflatten_params
 
 __all__ = ["DEFAULT_TP_RULES", "infer_param_sharding", "fsdp_param_sharding",
-           "batch_sharding", "replicated"]
+           "batch_sharding", "spatial_sharding", "replicated"]
 
 # (path regex, spec builder). Specs reference the "model" axis for TP.
 DEFAULT_TP_RULES: List[Tuple[str, P]] = [
@@ -39,6 +39,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def spatial_sharding(mesh: Mesh, data_axis: str = "data",
+                     spatial_axis: str = "seq") -> NamedSharding:
+    """Shard NHWC inputs over batch AND image height (sequence/spatial
+    parallelism). XLA's spatial partitioner propagates the H sharding
+    through convs (inserting halo exchanges) and attention (inserting the
+    k/v all-gathers) automatically — the TPU-classic recipe for images too
+    large for one chip's HBM at batch 1. Use a mesh like
+    ``create_mesh((d, s), ("data", "seq"))``."""
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
 
 
 def _divisible(shape, spec, mesh) -> bool:
