@@ -44,16 +44,25 @@ def _cache_dir() -> Path:
     return Path(get_dir()) / "native"
 
 
+_BUILD_FLAGS = [
+    # -march=native vectorizes the separable-resize blend loops for the
+    # local ISA; safe because the .so is cached per machine (flags are part
+    # of the cache key below). Falls back to portable flags if unsupported.
+    "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+]
+_PORTABLE_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+
+
 def _build_library() -> Path:
-    """Compile image_io.cpp into the cache dir, keyed by source hash."""
+    """Compile image_io.cpp into the cache dir, keyed by source + flags."""
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + " ".join(_BUILD_FLAGS).encode()).hexdigest()[:16]
     out = _cache_dir() / f"libtfimm_image_io_{tag}.so"
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "g++", *_BUILD_FLAGS,
         str(_SRC), "-o", str(out), "-ljpeg", "-lpng",
     ]
     try:
@@ -64,9 +73,15 @@ def _build_library() -> Path:
             "image decoder; install one or use a Python-side decoder."
         )
     except subprocess.CalledProcessError as e:
-        raise RuntimeError(
-            f"Failed to build native image decoder:\n{e.stderr}"
-        )
+        # -march=native can be unsupported (exotic toolchains); retry portable.
+        cmd = ["g++", *_PORTABLE_FLAGS,
+               str(_SRC), "-o", str(out), "-ljpeg", "-lpng"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError:
+            raise RuntimeError(
+                f"Failed to build native image decoder:\n{e.stderr}"
+            )
     return out
 
 
