@@ -83,3 +83,38 @@ def test_warmup_ramps_lr():
     _, schedule = OptimizerFactory(cfg, TK)()
     assert float(schedule(0)) < 0.5 / 4
     assert abs(float(schedule(100)) - 0.5) < 1e-6
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """accum_steps=2 on half-batches == one step on the full batch (SGD)."""
+    import jax
+
+    cfg = OptimizerConfig(lr_schedule=LRConstConfig(lr=0.1),
+                          lr_schedule_class="LRConstFactory",
+                          optimizer="sgd", betas=(0.0, 0.0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)))
+
+    def loss_fn(p, batch):
+        return jnp.mean((batch @ p) ** 2)
+
+    p0 = jnp.asarray(np.random.default_rng(1).normal(size=(3,)))
+
+    # accumulated: two micro-steps of 2 samples
+    tx, _ = OptimizerFactory(
+        OptimizerConfig(**{**cfg.__dict__, "accum_steps": 2}), TK)()
+    state = tx.init(p0)
+    p = p0
+    for mb in (x[:2], x[2:]):
+        g = jax.grad(loss_fn)(p, mb)
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+
+    # reference: one step on all 4 samples (grads averaged over micro-steps)
+    tx2, _ = OptimizerFactory(cfg, TK)()
+    state2 = tx2.init(p0)
+    g = jax.grad(loss_fn)(p0, x)
+    updates2, _ = tx2.update(g, state2, p0)
+    p_ref = optax.apply_updates(p0, updates2)
+
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               atol=1e-6, rtol=1e-6)

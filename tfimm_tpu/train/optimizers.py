@@ -31,6 +31,9 @@ class OptimizerConfig:
     weight_decay: float = 0.0  # decoupled decay (adamw); 0 disables
     clipnorm: float = -1.0
     clipvalue: float = -1.0
+    # Average gradients over N micro-steps before applying one update
+    # (optax.MultiSteps). TPU-relevant: large effective batches beyond HBM.
+    accum_steps: int = 1
     epsilon: float = 1e-7
     rho: float = 0.95
     initial_accumulator_value: float = 0.1
@@ -94,6 +97,8 @@ class OptimizerFactory:
             tx = optax.chain(optax.clip_by_global_norm(cfg.clipnorm), tx)
         elif cfg.clipvalue != -1.0:
             tx = optax.chain(optax.clip(cfg.clipvalue), tx)
+        if cfg.accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
         return tx
 
     def __call__(self) -> Tuple[optax.GradientTransformation, Any]:
