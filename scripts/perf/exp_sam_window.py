@@ -33,14 +33,16 @@ def slope(fn, n1=5, n2=30):
     def run(n):
         def body(_, c):
             return fn(c)
-        return jax.lax.fori_loop(0, n, body, fn(None))
+        out = jax.lax.fori_loop(0, n, body, fn(None))
+        # Scalar readback only — the tunnel transfer is ~60 ms plus size.
+        return jax.tree.leaves(out)[0].astype(jnp.float32).mean()
 
     def t(n):
         t0 = time.perf_counter()
-        np.asarray(jax.block_until_ready(run(n)))[()]
+        np.asarray(run(n))
         return time.perf_counter() - t0
 
-    np.asarray(jax.block_until_ready(run(2)))
+    np.asarray(run(2))
     for _ in range(3):
         t1, t2 = t(n1), t(n2)
         if t2 > t1:
@@ -129,6 +131,7 @@ def sam_window_attention():
 
 
 def sam_encoder_total():
+    import tfimm_tpu.architectures.segment_anything  # noqa: F401 (registers)
     from tfimm_tpu import create_model
 
     model = create_model("sam_vit_b", dtype=jnp.bfloat16)
@@ -196,11 +199,45 @@ def swin_stage_probe():
           f"upper bound", flush=True)
 
 
+def swin_pack_compare():
+    """window_mha at Swin-T stage-1 shape: pack g=2 vs g=4."""
+    import os
+
+    from tfimm_tpu.ops.pallas.window_mha import window_mha
+
+    B, NW, N, C, H = 128, 64, 49, 96, 3
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B * NW, N, C)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B * NW, N, C)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B * NW, N, C)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.05, jnp.float32)
+    scale = (C // H) ** -0.5
+
+    flops = 2 * 2 * B * NW * H * N * N * (C // H)
+    for g in (2, 4):
+        os.environ["TFIMM_TPU_WINDOW_PACK"] = str(g)
+
+        def fn(args, g=g):
+            if args is None:
+                args = (q, k, v)
+            qq, kk, vv = args
+            o = window_mha(qq, kk, vv, bias, None, nb_heads=H, scale=scale)
+            return (qq + (o.mean() * 0).astype(qq.dtype), kk, vv)
+
+        s = slope(fn)
+        print(f"swin-pack g={g}: {s*1e3:7.3f} ms "
+              f"{flops/s/1e12:5.1f} TF/s ({100*flops/s/PEAK:4.1f}%)",
+              flush=True)
+    os.environ.pop("TFIMM_TPU_WINDOW_PACK", None)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["window", "encoder", "swin"]
+    which = sys.argv[1:] or ["window", "encoder", "pack", "swin"]
     if "window" in which:
         sam_window_attention()
     if "encoder" in which:
         sam_encoder_total()
+    if "pack" in which:
+        swin_pack_compare()
     if "swin" in which:
         swin_stage_probe()

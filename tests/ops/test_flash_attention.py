@@ -250,3 +250,37 @@ def test_fused_mha_vjp_matches_autodiff():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sam_windowed_attention_kernel_dispatch(monkeypatch):
+    """SAM RelPosAttention at window scale (14x14 grid, N=196): the fused
+    rel-pos kernel branch (interpret mode) matches the XLA path — covers the
+    new windowed dispatch in image_encoder.py end to end on CPU."""
+    import numpy as np
+
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        RelPosAttention,
+    )
+    from tfimm_tpu.core import Context
+
+    attn = RelPosAttention(
+        fixed_input_size=True, embed_dim=64, nb_heads=2, qkv_bias=True,
+        use_rel_pos=True, drop_rate=0.0, attn_drop_rate=0.0,
+        rel_pos_size=(14, 14))
+    p = attn.init(jax.random.PRNGKey(0))
+    p["rel_pos_h"] = jnp.asarray(
+        np.random.default_rng(1).normal(size=p["rel_pos_h"].shape) * 0.05,
+        jnp.float32)
+    p["rel_pos_w"] = jnp.asarray(
+        np.random.default_rng(2).normal(size=p["rel_pos_w"].shape) * 0.05,
+        jnp.float32)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(3, 14, 14, 64)),
+                    jnp.float32)
+    with Context(training=False):
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+        ref = attn(p, x)
+        monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+        out = attn(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

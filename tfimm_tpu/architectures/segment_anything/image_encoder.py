@@ -115,17 +115,27 @@ class RelPosAttention:
     def _use_flash_kernel(self, h, w):
         import os
 
+        from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
+
         if os.environ.get("TFIMM_TPU_NO_FLASH", "0") == "1":
             return False
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
+        if not (on_tpu() or interpret_forced()) or not self.use_rel_pos:
+            return False
         # Global attention at SAM scale (>= 1024 tokens): the XLA path
         # materializes (heads, N, N) scores + bias — the fused kernel keeps
-        # everything in VMEM. Key blocks must cover whole key-grid rows.
-        return (on_tpu and self.use_rel_pos and h * w >= 1024
-                and (h * w) % 512 == 0 and 512 % w == 0)
+        # everything in VMEM, streaming K in 512-wide blocks that must cover
+        # whole key-grid rows.
+        if h * w >= 1024:
+            return (h * w) % 512 == 0 and 512 % w == 0
+        # Windowed blocks (N = window² = 196 for SAM ViT): a single
+        # block_q = block_k = N program per (window, head) row. Measured
+        # (scripts/perf/exp_sam_window.py, slope timing): kernel 0.225 ms vs
+        # XLA 0.315 ms forward (1.40x), but the Pallas backward — whose
+        # block structure is designed for N=4096 streams — loses 2.5x at
+        # this size, so the windowed kernel serves inference only.
+        from tfimm_tpu.core import is_training
+
+        return h * w >= 128 and not is_training()
 
     def __call__(self, p, x):
         n, h, w, c = x.shape
@@ -137,7 +147,8 @@ class RelPosAttention:
 
         # Differentiable: the rel-pos kernel has a custom VJP (Pallas
         # backward kernels incl. rel-term gradients), so SAM fine-tuning
-        # takes the kernel path too.
+        # takes the kernel path too on the global (N >= 1024) blocks; the
+        # windowed blocks use it for inference only (see _use_flash_kernel).
         if self._use_flash_kernel(h, w):
             from tfimm_tpu.ops.pallas.flash_attention_relpos import (
                 flash_attention_relpos,
@@ -152,8 +163,14 @@ class RelPosAttention:
                                  r_h.astype(q.dtype)).reshape(-1, h * w, h)
             rw_term = jnp.einsum("bhwc,wkc->bhwk", qg,
                                  r_w.astype(q.dtype)).reshape(-1, h * w, w)
+            from tfimm_tpu.ops.pallas.dispatch import interpret_forced
+
+            n_tok = h * w
+            block = 512 if n_tok % 512 == 0 else n_tok
             out = flash_attention_relpos(q, k, v, rh_term, rw_term,
-                                         grid_size=(h, w), scale=self.scale)
+                                         grid_size=(h, w), scale=self.scale,
+                                         block_q=block, block_k=block,
+                                         interpret=interpret_forced())
         else:
             # Scores stored in compute dtype; softmax math in f32 (see
             # ops/attention.py for rationale/measurements).

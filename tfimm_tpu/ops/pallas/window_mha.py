@@ -26,6 +26,13 @@ The relative-position bias (H, N, N) is broadcast to every program; the
 shifted-window mask (nW, N, N) is indexed by window position within the
 image. Both are added to the f32 scores before the in-VMEM softmax.
 
+Adjacent windows are additionally packed g ∈ {2, 4} per matmul
+(block-diagonal -1e9 bias between them): the (N, C) matmuls at N=49 are
+MXU-weight-load-latency-bound, so g-fold longer M-streams amortize the
+load — but the masked cross-window score work grows as g², and measured
+g=4 loses to g=2 at Swin shapes, so the default cap is 2
+(TFIMM_TPU_WINDOW_PACK overrides).
+
 Differentiable via a custom VJP with a Pallas backward kernel (recomputes
 the softmax; emits dq/dk/dv and the per-head score gradient reduced over
 windows, which is the bias-table gradient before the index scatter).
@@ -68,37 +75,50 @@ def _head_groups(c: int, d: int):
 _NEG_INF = -1e9
 
 
-def _pack_pair(q, k, v, bias, mask):
-    """Stack adjacent windows along N (block-diagonal attention).
+def _pack_group(q, k, v, bias, mask, g: int):
+    """Stack g adjacent windows along N (block-diagonal attention).
 
-    Doubles the MXU M-stream per weight load: at N=49 the (49, C) matmuls
-    are latency-bound (cost ~max(M, K) cycles regardless of the tiny
-    output), so two windows per matmul halve the per-window cost. The
-    cross-window score quadrants are suppressed with an additive -1e9 in
+    Multiplies the MXU M-stream per weight load by g: at N=49 the (49, C)
+    matmuls are latency-bound (cost ~max(M, K) cycles regardless of the
+    tiny output), so g windows per matmul cut the per-window cost ~g-fold.
+    The cross-window score blocks are suppressed with an additive -1e9 in
     the (f32) bias, which makes the per-window softmax exact.
     """
     bw, n, c = q.shape
-    q, k, v = (t.reshape(bw // 2, 2 * n, c) for t in (q, k, v))
+    q, k, v = (t.reshape(bw // g, g * n, c) for t in (q, k, v))
     h = bias.shape[0]
     neg = jnp.full((h, n, n), _NEG_INF, jnp.float32)
     bias = bias.astype(jnp.float32)
     bias = jnp.concatenate([
-        jnp.concatenate([bias, neg], axis=2),
-        jnp.concatenate([neg, bias], axis=2),
+        jnp.concatenate([bias if i == j else neg for j in range(g)], axis=2)
+        for i in range(g)
     ], axis=1)
     if mask is not None:
-        m0, m1 = mask[0::2].astype(jnp.float32), mask[1::2].astype(jnp.float32)
-        zero = jnp.zeros_like(m0)
+        parts = [mask[i::g].astype(jnp.float32) for i in range(g)]
+        zero = jnp.zeros_like(parts[0])
         mask = jnp.concatenate([
-            jnp.concatenate([m0, zero], axis=2),
-            jnp.concatenate([zero, m1], axis=2),
+            jnp.concatenate([parts[i] if i == j else zero
+                             for j in range(g)], axis=2)
+            for i in range(g)
         ], axis=1)
     return q, k, v, bias, mask
 
 
-def _can_pack(bw, n, nb_win, mask) -> bool:
-    return (n <= 64 and bw % 2 == 0
-            and (mask is None or nb_win % 2 == 0))
+def _pack_factor(bw, n, nb_win, mask) -> int:
+    """Largest g in {4, 2, 1} that tiles the batch/windows and keeps the
+    packed sequence g*n <= 256 (scores stay small in VMEM).
+
+    Default cap 2: measured at Swin-T stage-1 shapes (N=49, C=96), g=4 is
+    SLOWER than g=2 (2.68 vs 2.16 ms — the g² masked cross-window score
+    FLOPs outgrow the per-matmul latency savings; exp_sam_window.py)."""
+    import os
+
+    cap = int(os.environ.get("TFIMM_TPU_WINDOW_PACK", "2"))
+    for g in (4, 2):
+        if (g <= cap and g * n <= 256 and bw % g == 0
+                and (mask is None or nb_win % g == 0)):
+            return g
+    return 1
 
 
 def _pick_wb(bw: int, nb_heads: int, nb_win: int, has_mask: bool) -> int:
@@ -152,9 +172,10 @@ def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
     bw0, n0, c = q.shape
     d = c // nb_heads
     nb_win = mask.shape[0] if mask is not None else 1
-    if _can_pack(bw0, n0, nb_win, mask):
-        q, k, v, bias, mask = _pack_pair(q, k, v, bias, mask)
-        nb_win = max(1, nb_win // 2)
+    g = _pack_factor(bw0, n0, nb_win, mask)
+    if g > 1:
+        q, k, v, bias, mask = _pack_group(q, k, v, bias, mask, g)
+        nb_win = max(1, nb_win // g)
     bw, n, _ = q.shape
     wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
     grid = (bw // wb,)
@@ -243,11 +264,11 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
     bw0, n0, c = q.shape
     d = c // nb_heads
     nb_win = mask.shape[0] if mask is not None else 1
-    packed = _can_pack(bw0, n0, nb_win, mask)
-    if packed:
-        q, k, v, bias, mask = _pack_pair(q, k, v, bias, mask)
-        g = g.reshape(bw0 // 2, 2 * n0, c)
-        nb_win = max(1, nb_win // 2)
+    pk = _pack_factor(bw0, n0, nb_win, mask)
+    if pk > 1:
+        q, k, v, bias, mask = _pack_group(q, k, v, bias, mask, pk)
+        g = g.reshape(bw0 // pk, pk * n0, c)
+        nb_win = max(1, nb_win // pk)
     bw, n, _ = q.shape
     wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
     grid = (bw // wb,)
@@ -304,11 +325,12 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
         + [jax.ShapeDtypeStruct((nb_heads, n, n), jnp.float32)],
         interpret=interpret,
     )(*operands)
-    if packed:
+    if pk > 1:
         dq, dk, dv = (t.reshape(bw0, n0, c) for t in (dq, dk, dv))
-        # Fold the paired (H, 2N, 2N) bias gradient back onto the window
-        # bias: both diagonal quadrants saw the same bias table.
-        dbias = dbias[:, :n0, :n0] + dbias[:, n0:, n0:]
+        # Fold the packed (H, g*N, g*N) bias gradient back onto the window
+        # bias: every diagonal block saw the same bias table.
+        dbias = sum(dbias[:, i * n0:(i + 1) * n0, i * n0:(i + 1) * n0]
+                    for i in range(pk))
     return dq, dk, dv, dbias
 
 
@@ -361,8 +383,9 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     nb_win = mask.shape[0] if mask is not None else 1
     if bw % nb_win:
         return None
-    if _can_pack(bw, n, nb_win, mask):
-        n, bw, nb_win = 2 * n, bw // 2, max(1, nb_win // 2)
+    g = _pack_factor(bw, n, nb_win, mask)
+    if g > 1:
+        n, bw, nb_win = g * n, bw // g, max(1, nb_win // g)
     wb = _pick_wb(bw, nb_heads, nb_win, mask is not None)
     itemsize = jnp.dtype(q.dtype).itemsize
     vmem = (4 * wb * n * c * itemsize + nb_heads * n * n * 4
