@@ -1,0 +1,104 @@
+"""Fused Swin block kernel (ops/pallas/swin_block.py) vs the unfused path,
+interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfimm_tpu.architectures.swin import (SwinTransformerBlock,
+                                          SwinTransformerConfig,
+                                          window_partition, window_reverse)
+from tfimm_tpu.core import Context
+from tfimm_tpu.ops.pallas.swin_block import swin_block_or_none
+
+
+def _block(shift, hw=14, c=96, heads=3):
+    cfg = SwinTransformerConfig(name="t", window_size=7)
+    blk = SwinTransformerBlock(cfg, input_size=(hw, hw), embed_dim=c,
+                               nb_heads=heads, drop_path_rate=0.0,
+                               shift_size=shift)
+    p = blk.init(jax.random.PRNGKey(0))
+    p["attn"]["relative_position_bias_table"] = jnp.asarray(
+        np.random.default_rng(1).normal(
+            size=p["attn"]["relative_position_bias_table"].shape) * 0.3,
+        jnp.float32)
+    return blk, p
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_fused_block_matches_unfused(monkeypatch, shift):
+    blk, p = _block(shift)
+    hw, c, ws, ss = 14, 96, blk.window_size, blk.shift_size
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, hw * hw, c)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = blk(p, x)
+
+    xg = x.reshape(2, hw, hw, c)
+    if ss:
+        xg = jnp.roll(xg, (-ss, -ss), axis=(1, 2))
+    wins = window_partition(xg, ws).reshape(-1, ws * ws, c)
+    bias = p["attn"]["relative_position_bias_table"][
+        blk.attn.rel_pos_index.reshape(-1)
+    ].reshape(ws * ws, ws * ws, 3).transpose(2, 0, 1)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    out = swin_block_or_none(p, wins, bias, blk.attn_mask, nb_heads=3,
+                             scale=blk.attn.scale)
+    assert out is not None
+    o = window_reverse(out.reshape(-1, ws, ws, c), ws, hw, hw)
+    if ss:
+        o = jnp.roll(o, (ss, ss), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(o.reshape(2, hw * hw, c)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_dispatch_in_model_call(monkeypatch):
+    """SwinTransformerBlock.__call__ takes the fused path end to end."""
+    blk, p = _block(shift=3)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 196, 96)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = blk(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    with Context(training=False):
+        out = blk(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_declines_in_training(monkeypatch):
+    """Training must NOT take the (forward-only) fused kernel."""
+    blk, p = _block(shift=0)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 196, 96)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = blk(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    with Context(training=True, rng=jax.random.PRNGKey(0)):
+        out = blk(p, x)  # unfused path; dropout rates are 0 so numerics match
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_whole_swin_model_fused_path(monkeypatch):
+    """Full swin model forward: fused-block path equals the unfused path."""
+    from tfimm_tpu import create_model
+
+    model = create_model("swin_tiny_patch4_window7_224")
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 224, 224, 3)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    ref = np.asarray(model.predict(x))
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    model2 = create_model("swin_tiny_patch4_window7_224")
+    model2.params = model.params
+    out = np.asarray(model2.predict(x))
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)

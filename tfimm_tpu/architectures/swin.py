@@ -246,6 +246,34 @@ class SwinTransformerBlock:
         b, l, c = x.shape
         ws, ss = self.window_size, self.shift_size
 
+        # Fused whole-block kernel (inference): LN1 -> windowed MHA -> +res
+        # -> LN2 -> MLP -> +res with every intermediate VMEM-resident — the
+        # early stages are HBM-bound (see ops/pallas/swin_block.py). LN and
+        # the residuals are per-token, so the whole block commutes with the
+        # roll/partition layout; only the roll/partition/reverse transposes
+        # stay in XLA. Training uses the unfused path below.
+        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and os.environ.get("TFIMM_TPU_NO_FUSED_BLOCK", "0") != "1"
+                and not current_context().training
+                and h % ws == 0 and w % ws == 0):
+            from tfimm_tpu.ops.pallas.swin_block import swin_block_or_none
+
+            xg = x.reshape(b, h, w, c)
+            if ss > 0:
+                xg = jnp.roll(xg, shift=(-ss, -ss), axis=(1, 2))
+            wins = window_partition(xg, ws).reshape(-1, ws * ws, c)
+            bias = p["attn"]["relative_position_bias_table"][
+                self.attn.rel_pos_index.reshape(-1)
+            ].reshape(ws * ws, ws * ws, self.attn.nb_heads).transpose(2, 0, 1)
+            out = swin_block_or_none(p, wins, bias, self.attn_mask,
+                                     nb_heads=self.attn.nb_heads,
+                                     scale=self.attn.scale)
+            if out is not None:
+                out = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+                if ss > 0:
+                    out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))
+                return out.reshape(b, h * w, c)
+
         shortcut = x
         x = self.norm1(p["norm1"], x).reshape(b, h, w, c)
         if ss > 0:

@@ -1,0 +1,252 @@
+"""Fused Swin transformer block: LN1 -> windowed MHA -> +res -> LN2 -> MLP
+-> +res in ONE Pallas kernel (inference path).
+
+Why: Swin's early stages are HBM-bound, not compute-bound. Measured at
+bs128 (scripts/perf/exp_sam_window.py swin probe, slope timing): the
+stage-1 block (C=96, 56x56) runs at 7.7% of v5e bf16 peak — its ~94 GFLOP
+would take 0.48 ms at peak but costs ~6.3 ms, because every op in the
+XLA path round-trips the (128, 3136, 96) activation through HBM (~77 MB
+per read). Meanwhile ALL of a stage-1 block's weights are ~110K params
+(~0.4 MB) — they trivially fit VMEM. So one kernel that reads the
+activation once, keeps every intermediate in VMEM, and writes the output
+once is bounded by ~2x77 MB of traffic (~0.2 ms) instead of ~10 round
+trips. (Contrast: the ViT-B megablock experiment was a measured NEGATIVE
+— that block is compute-bound at 76% peak, so fusion had nothing to win.
+scripts/perf/exp_megablock.py.)
+
+Structure per grid program (wb windows of N = window^2 tokens):
+
+    X   = x_ref (wb*N, C)              # windows of the UN-normalized input
+    H1  = LN1(X)                       # f32 stats over C lanes
+    Q,K,V = H1 @ Wq/k/v + b            # one (wb*N, C) matmul each
+    for each window pair: masked-head attention (window_mha's lane-group
+        trick) with the pair-packed (H, 2N, 2N) bias [+ shift mask]
+    A   = attn @ Wp + bp
+    X2  = X + A                        # residual (drop_path = id, inference)
+    OUT = X2 + gelu(LN2(X2) @ W1 + b1) @ W2 + b2
+
+All weights are operands with constant index maps, so they stay resident
+in VMEM across the (sequential) grid. The relative-position bias and the
+shifted-window mask are pre-packed into pair (block-diagonal) form
+outside (window_mha._pack_group), matching the kernel's pair iteration.
+
+Training falls back to the unfused path (a fused backward would need its
+own VJP kernels; the forward-only win is the measured one).
+
+Reference for the role (not the design): tfimm/architectures/swin.py
+SwinTransformerBlock (:214-263 in this repo's port).
+"""
+
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
+from tfimm_tpu.ops.pallas.window_mha import (_MAX_UNROLL, _group_attention,
+                                             _head_groups, _pack_group)
+
+__all__ = ["swin_block_fused", "swin_block_or_none"]
+
+_VMEM_LIMIT_BYTES = 10 * 2 ** 20
+
+
+def _layer_norm(x32, gamma, beta, eps=1e-5):
+    """One-pass LN over the last axis, f32 in/out (matches ops/norm.py)."""
+    mean = x32.mean(axis=-1, keepdims=True)
+    mean2 = jnp.square(x32).mean(axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * gamma + beta
+
+
+def _gelu_policy(x, out_dtype):
+    """ops/basic.py _gelu: exact erf for f32, tanh approximation for bf16."""
+    if out_dtype == jnp.float32:
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _pick_wb(bw_pairs: int, nb_heads: int, nb_win_pairs: int,
+             has_mask: bool) -> int:
+    """Window-pairs per program: bounded unroll, tiles batch and mask."""
+    wb = max(1, _MAX_UNROLL // nb_heads)
+    while wb > 1 and (bw_pairs % wb or (has_mask and nb_win_pairs % wb)):
+        wb -= 1
+    return wb
+
+
+def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
+                     scale: float, interpret: bool = False):
+    """x: (BW, N, C) window-partitioned tokens (pre-LN). params: dict with
+    wq/wk/wv/bq/bk/bv/wp/bp/w1/b1/w2/b2/g1/be1/g2/be2 (all 2D, (1, ...) for
+    vectors). bias: (H, N, N); mask: (nW, N, N) or None. Returns (BW, N, C).
+    """
+    bw0, n0, c = x.shape
+    d = c // nb_heads
+    nb_win = mask.shape[0] if mask is not None else 1
+    # Pair windows for the attention loop (the matmuls batch over all rows
+    # anyway). Requires even window counts — the dispatcher checks.
+    q_dummy = x  # _pack_group packs q/k/v identically; we only need bias/mask
+    _, _, _, bias_p, mask_p = _pack_group(q_dummy, q_dummy, q_dummy, bias,
+                                          mask, 2)
+    bw = bw0 // 2           # pairs
+    n2 = 2 * n0
+    nb_winp = max(1, nb_win // 2)
+    wb = _pick_wb(bw, nb_heads, nb_winp, mask is not None)
+    grid = (bw // wb,)
+
+    io_spec = pl.BlockSpec((wb, n2, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    x_pairs = x.reshape(bw, n2, c)
+    w_names = ["wq", "wk", "wv", "wp", "w1", "w2"]
+    v_names = ["bq", "bk", "bv", "bp", "b1", "b2", "g1", "be1", "g2", "be2"]
+    operands = [x_pairs]
+    in_specs = [io_spec]
+    for name in w_names:
+        wmat = params[name]
+        operands.append(wmat)
+        in_specs.append(const(*wmat.shape))
+    for name in v_names:
+        vec = params[name].astype(jnp.float32)
+        operands.append(vec)
+        in_specs.append(const(*vec.shape))
+    operands.append(bias_p.astype(jnp.float32))
+    in_specs.append(const(nb_heads, n2, n2))
+    if mask is not None:
+        operands.append(mask_p.astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((wb, n2, n2), lambda i: (i % (nb_winp // wb), 0, 0),
+                         memory_space=pltpu.VMEM))
+
+    dtype = x.dtype
+
+    def kernel(x_ref, wq, wk, wv, wp, w1, w2, bq, bk, bv, bp, b1, b2,
+               g1, be1, g2, be2, b_ref, *rest):
+        m_ref, o_ref = (rest if mask is not None else (None,) + rest)
+        X = x_ref[...].reshape(wb * n2, c)
+        X32 = X.astype(jnp.float32)
+        H1 = _layer_norm(X32, g1[0], be1[0]).astype(dtype)
+
+        def dense(h, w, b):
+            y = jax.lax.dot_general(
+                h, w[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (y + b[0]).astype(dtype)
+
+        Q = dense(H1, wq, bq)
+        K = dense(H1, wk, bk)
+        V = dense(H1, wv, bv)
+
+        # Attention per window pair x lane group (window_mha's masked-head
+        # trick: full-lane contraction, per-head lane masks, bias + mask on
+        # the f32 scores in VMEM).
+        row_blocks = []
+        for w in range(wb):
+            rows = slice(w * n2, (w + 1) * n2)
+            mw = m_ref[w] if m_ref is not None else None
+            parts = [
+                _group_attention(Q[rows, off:off + width],
+                                 K[rows, off:off + width],
+                                 V[rows, off:off + width],
+                                 b_ref, mw, off, d, scale)
+                for off, width in _head_groups(c, d)
+            ]
+            row_blocks.append(
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=1))
+        A = (row_blocks[0] if wb == 1
+             else jnp.concatenate(row_blocks, axis=0))
+
+        P = dense(A.astype(dtype), wp, bp)
+        X2 = (X32 + P.astype(jnp.float32))
+        H2 = _layer_norm(X2, g2[0], be2[0]).astype(dtype)
+        M1 = jax.lax.dot_general(
+            H2, w1[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1[0]
+        M1 = _gelu_policy(M1.astype(dtype).astype(jnp.float32), dtype)
+        M2 = jax.lax.dot_general(
+            M1.astype(dtype), w2[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2[0]
+        OUT = (X2 + M2).astype(dtype)
+        o_ref[...] = OUT.reshape(wb, n2, c)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((bw, n2, c), dtype),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(bw0, n0, c)
+
+
+def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
+                       scale: float):
+    """Dispatch the fused block kernel if it applies, else None.
+
+    ``p``: the SwinTransformerBlock param dict ({norm1, attn, norm2, mlp}).
+    ``x_windows``: (BW, N, C) un-normalized window tokens. Inference-only
+    (the caller gates on training); declines off-TPU (unless interpret is
+    forced), for head dims outside the lane-group scheme, odd window
+    counts (pairing), or when the working set would bust VMEM.
+    """
+    interpret = interpret_forced()
+    if not (on_tpu() or interpret):
+        return None
+    bw, n, c = x_windows.shape
+    if c % nb_heads:
+        return None
+    d = c // nb_heads
+    if d not in (16, 32, 64) or c < d * 2:
+        return None
+    if bw % 2 or n > 128:
+        return None
+    nb_win = mask.shape[0] if mask is not None else 1
+    if bw % nb_win or (mask is not None and nb_win % 2):
+        return None
+    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+    nb_winp = max(1, nb_win // 2)
+    wb = _pick_wb(bw // 2, nb_heads, nb_winp, mask is not None)
+    itemsize = jnp.dtype(x_windows.dtype).itemsize
+    rows = wb * 2 * n
+    vmem = (
+        2 * wb * 2 * n * c * itemsize          # x + out blocks
+        + rows * c * (4 * itemsize + 8)        # H1,Q,K,V + X2,A f32
+        + rows * hidden * 4                    # MLP intermediate f32
+        + (c * (3 * c + c + hidden) + hidden * c) * itemsize  # weights
+        + nb_heads * 4 * n * n * 4             # packed bias
+        + (wb * 4 * n * n * 4 if mask is not None else 0)
+    )
+    if vmem > _VMEM_LIMIT_BYTES:
+        return None
+
+    dt = x_windows.dtype
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"].get("bias")
+    zeros_c = jnp.zeros((1, c), jnp.float32)
+    params = {
+        "wq": wqkv[:, :c], "wk": wqkv[:, c:2 * c], "wv": wqkv[:, 2 * c:],
+        "bq": bqkv[None, :c] if bqkv is not None else zeros_c,
+        "bk": bqkv[None, c:2 * c] if bqkv is not None else zeros_c,
+        "bv": bqkv[None, 2 * c:] if bqkv is not None else zeros_c,
+        "wp": p["attn"]["proj"]["kernel"].astype(dt),
+        "bp": p["attn"]["proj"]["bias"][None],
+        "w1": p["mlp"]["fc1"]["kernel"].astype(dt),
+        "b1": p["mlp"]["fc1"]["bias"][None],
+        "w2": p["mlp"]["fc2"]["kernel"].astype(dt),
+        "b2": p["mlp"]["fc2"]["bias"][None],
+        "g1": p["norm1"]["scale"][None], "be1": p["norm1"]["bias"][None],
+        "g2": p["norm2"]["scale"][None], "be2": p["norm2"]["bias"][None],
+    }
+    return swin_block_fused(x_windows, params, bias, mask,
+                            nb_heads=nb_heads, scale=scale,
+                            interpret=interpret)
