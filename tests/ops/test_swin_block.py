@@ -26,10 +26,12 @@ def _block(shift, hw=14, c=96, heads=3):
     return blk, p
 
 
-@pytest.mark.parametrize("shift", [0, 3])
-def test_fused_block_matches_unfused(monkeypatch, shift):
-    blk, p = _block(shift)
-    hw, c, ws, ss = 14, 96, blk.window_size, blk.shift_size
+@pytest.mark.parametrize("shift,c,heads", [(0, 192, 6), (3, 96, 3)])
+def test_fused_block_matches_unfused(monkeypatch, shift, c, heads):
+    # C=96 unshifted is measurement-gated OFF (loses to XLA); cover the
+    # unshifted kernel path at C=192 instead.
+    blk, p = _block(shift, c=c, heads=heads)
+    hw, ws, ss = 14, blk.window_size, blk.shift_size
     x = jnp.asarray(np.random.default_rng(2).normal(size=(2, hw * hw, c)),
                     jnp.float32)
     monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
@@ -42,10 +44,10 @@ def test_fused_block_matches_unfused(monkeypatch, shift):
     wins = window_partition(xg, ws).reshape(-1, ws * ws, c)
     bias = p["attn"]["relative_position_bias_table"][
         blk.attn.rel_pos_index.reshape(-1)
-    ].reshape(ws * ws, ws * ws, 3).transpose(2, 0, 1)
+    ].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
     monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
     monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
-    out = swin_block_or_none(p, wins, bias, blk.attn_mask, nb_heads=3,
+    out = swin_block_or_none(p, wins, bias, blk.attn_mask, nb_heads=heads,
                              scale=blk.attn.scale)
     assert out is not None
     o = window_reverse(out.reshape(-1, ws, ws, c), ws, hw, hw)
@@ -102,3 +104,16 @@ def test_whole_swin_model_fused_path(monkeypatch):
     model2.params = model.params
     out = np.asarray(model2.predict(x))
     np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
+
+
+def test_fused_block_declines_c96_unshifted(monkeypatch):
+    """C=96 without a shift mask is measurement-gated to the XLA path."""
+    import jax.numpy as jnp
+
+    blk, p = _block(shift=0)
+    ws = blk.window_size
+    wins = jnp.zeros((8, ws * ws, 96), jnp.float32)
+    bias = jnp.zeros((3, ws * ws, ws * ws), jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    assert swin_block_or_none(p, wins, bias, None, nb_heads=3,
+                              scale=blk.attn.scale) is None

@@ -210,6 +210,13 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
         return None
     if bw % 2 or n > 128:
         return None
+    # Measured per-block vs the unfused window_mha path (bs128 bf16, slope
+    # timing, scripts/perf/exp_swin_fused.py): C=96 shifted 1.22x, C=192
+    # 1.28x/1.13x, C=384 1.24x/1.06x wins — but C=96 UNSHIFTED loses 0.88x
+    # (the in-kernel per-program GEMMs at M=wb*2N can't beat XLA's one giant
+    # batched GEMM when the attention side carries no mask work to absorb).
+    if c < 128 and mask is None:
+        return None
     nb_win = mask.shape[0] if mask is not None else 1
     if bw % nb_win or (mask is not None and nb_win % 2):
         return None
