@@ -117,3 +117,25 @@ def test_fused_block_declines_c96_unshifted(monkeypatch):
     monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
     assert swin_block_or_none(p, wins, bias, None, nb_heads=3,
                               scale=blk.attn.scale) is None
+
+
+def test_fused_block_gradients_match_reference(monkeypatch):
+    """jax.grad through the (inference) fused path must work — the custom
+    VJP differentiates the pure-JAX twin — and match the unfused path."""
+    blk, p = _block(shift=3)
+    hw, c, ws, ss = 14, 96, blk.window_size, blk.shift_size
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, hw * hw, c)),
+                    jnp.float32)
+
+    def loss(blk_params, x):
+        with Context(training=False):
+            return (blk(blk_params, x) ** 2).mean()
+
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    g_ref = jax.grad(loss)(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    g_ker = jax.grad(loss)(p, x)
+    for a, b in zip(jax.tree.leaves(g_ker), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)

@@ -30,8 +30,11 @@ in VMEM across the (sequential) grid. The relative-position bias and the
 shifted-window mask are pre-packed into pair (block-diagonal) form
 outside (window_mha._pack_group), matching the kernel's pair iteration.
 
-Training falls back to the unfused path (a fused backward would need its
-own VJP kernels; the forward-only win is the measured one).
+Training uses the unfused path (gated in swin.py). The kernel itself is
+still differentiable: a custom VJP pairs the fused forward with the
+backward of a pure-JAX twin (_reference_block), so jax.grad through an
+inference-mode forward (saliency, probes) runs at XLA speed instead of
+failing on a VJP-less pallas_call.
 
 Reference for the role (not the design): tfimm/architectures/swin.py
 SwinTransformerBlock (:214-263 in this repo's port).
@@ -39,6 +42,7 @@ SwinTransformerBlock (:214-263 in this repo's port).
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -254,6 +258,71 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
         "g1": p["norm1"]["scale"][None], "be1": p["norm1"]["bias"][None],
         "g2": p["norm2"]["scale"][None], "be2": p["norm2"]["bias"][None],
     }
-    return swin_block_fused(x_windows, params, bias, mask,
-                            nb_heads=nb_heads, scale=scale,
-                            interpret=interpret)
+    return swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
+                           interpret)
+
+
+def _reference_block(x, params, bias, mask, nb_heads, scale):
+    """Pure-JAX twin of the fused kernel (same math, XLA ops). Used only to
+    derive the backward pass: the custom VJP below runs the kernel forward
+    and this function's vjp backward, so jax.grad through an inference
+    forward works at XLA speed instead of crashing on a VJP-less kernel."""
+    bw, n, c = x.shape
+    d = c // nb_heads
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    h1 = _layer_norm(x32, params["g1"][0], params["be1"][0]).astype(dt)
+
+    def dense(h, w, b):
+        y = jnp.einsum("bnc,cf->bnf", h, w.astype(dt),
+                       preferred_element_type=jnp.float32)
+        return (y + b[0]).astype(dt)
+
+    q = dense(h1, params["wq"], params["bq"])
+    k = dense(h1, params["wk"], params["bk"])
+    v = dense(h1, params["wv"], params["bv"])
+    qh = q.reshape(bw, n, nb_heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(bw, n, nb_heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(bw, n, nb_heads, d).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32) * scale,
+                   kh.astype(jnp.float32))
+    s = s + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        nb_win = mask.shape[0]
+        widx = jnp.arange(bw) % nb_win
+        s = s + mask.astype(jnp.float32)[widx][:, None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    a = o.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    proj = dense(a.astype(dt), params["wp"], params["bp"])
+    x2 = x32 + proj.astype(jnp.float32)
+    h2 = _layer_norm(x2, params["g2"][0], params["be2"][0]).astype(dt)
+    m1 = jnp.einsum("bnc,cf->bnf", h2, params["w1"].astype(dt),
+                    preferred_element_type=jnp.float32) + params["b1"][0]
+    m1 = _gelu_policy(m1.astype(dt).astype(jnp.float32), dt)
+    m2 = jnp.einsum("bnf,fc->bnc", m1.astype(dt), params["w2"].astype(dt),
+                    preferred_element_type=jnp.float32) + params["b2"][0]
+    return (x2 + m2).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def swin_block_diff(x, params, bias, mask, nb_heads, scale, interpret):
+    return swin_block_fused(x, params, bias, mask, nb_heads=nb_heads,
+                            scale=scale, interpret=interpret)
+
+
+def _swin_block_fwd(x, params, bias, mask, nb_heads, scale, interpret):
+    out = swin_block_fused(x, params, bias, mask, nb_heads=nb_heads,
+                           scale=scale, interpret=interpret)
+    return out, (x, params, bias, mask)
+
+
+def _swin_block_bwd(nb_heads, scale, interpret, res, g):
+    x, params, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda x, p, b, m: _reference_block(x, p, b, m, nb_heads, scale),
+        x, params, bias, mask)
+    return vjp(g)
+
+
+swin_block_diff.defvjp(_swin_block_fwd, _swin_block_bwd)
