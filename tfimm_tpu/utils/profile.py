@@ -100,6 +100,10 @@ def time_model(
         opt_state = tx.init(params)
 
         def loss_fn(p, x):
+            # training=False everywhere: keeps BN on running stats so CNN
+            # numbers are comparable across the published CSVs; kernels
+            # reached only from inference dispatch must therefore provide a
+            # VJP (see ops/pallas/swin_block.py's reference-twin backward).
             y = model.apply(p, x, training=False)
             out = y[0] if isinstance(y, tuple) else y
             return out.astype(jnp.float32).mean()
