@@ -320,8 +320,11 @@ def swin_block_diff(x, params, bias, mask, nb_heads, scale, interpret):
 
 
 def _swin_block_fwd(x, params, bias, mask, nb_heads, scale, interpret):
-    out = swin_block_fused(x, params, bias, mask, nb_heads=nb_heads,
-                           scale=scale, interpret=interpret)
+    # Under differentiation, run the unfused twin for the PRIMAL too: the
+    # fwd/bwd pair then both come from the same XLA+window_mha composition
+    # (old-path speed for gradient workloads; measured 1059 vs 1211 img/s
+    # backprop when the fused forward ran here and was recomputed anyway).
+    out = _reference_block(x, params, bias, mask, nb_heads, scale)
     return out, (x, params, bias, mask)
 
 
