@@ -1,0 +1,114 @@
+"""Fused talking-head attention kernel vs the XLA path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfimm_tpu.core import Context
+
+
+def _inputs(seed=0, b=2, n=52, h=4, d=48):
+    rng = np.random.default_rng(seed)
+    dim = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
+    ww = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
+    bl = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+    bw = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+    return qkv, wl, bl, ww, bw, h, d ** -0.5
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_kernel_matches_twin(with_bias):
+    from tfimm_tpu.ops.pallas.cait_attention import (_reference,
+                                                     talking_head_attention)
+
+    qkv, wl, bl, ww, bw, h, scale = _inputs()
+    if not with_bias:
+        bl = bw = None
+    out = talking_head_attention(qkv, wl, bl, ww, bw, nb_heads=h,
+                                 scale=scale, interpret=True)
+    ref = _reference(qkv, wl, bl, ww, bw, h, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_twin_matches_module_path(monkeypatch):
+    """The pure-JAX twin must equal TalkingHeadAttention's unfused path."""
+    from tfimm_tpu.architectures.cait import TalkingHeadAttention
+    from tfimm_tpu.ops.pallas.cait_attention import _reference
+
+    h, d = 4, 48
+    dim = h * d
+    attn = TalkingHeadAttention(dim, h, qkv_bias=True, attn_drop_rate=0.0,
+                                proj_drop_rate=0.0)
+    p = attn.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 52, dim)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = attn(p, x)
+    qkv = jnp.dot(x, p["qkv"]["kernel"]) + p["qkv"]["bias"]
+    body = _reference(qkv, p["proj_l"]["kernel"], p["proj_l"]["bias"],
+                      p["proj_w"]["kernel"], p["proj_w"]["bias"],
+                      h, attn.scale)
+    out = jnp.dot(body, p["proj"]["kernel"]) + p["proj"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dispatch_in_module_call(monkeypatch):
+    """TalkingHeadAttention.__call__ takes the fused path end to end."""
+    from tfimm_tpu.architectures.cait import TalkingHeadAttention
+
+    h, d = 4, 48
+    dim = h * d
+    attn = TalkingHeadAttention(dim, h, qkv_bias=True, attn_drop_rate=0.0,
+                                proj_drop_rate=0.0)
+    p = attn.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 52, dim)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = attn(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    with Context(training=False):
+        out = attn(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vjp_matches_twin_autodiff(monkeypatch):
+    """Gradients through the dispatcher equal the unfused path's."""
+    from tfimm_tpu.ops.pallas.cait_attention import (_reference,
+                                                     talking_head_diff)
+
+    qkv, wl, bl, ww, bw, h, scale = _inputs(seed=3)
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+
+    def loss_kernel(qkv, wl, bl, ww, bw):
+        return jnp.sum(
+            talking_head_diff(qkv, wl, bl, ww, bw, h, scale, True) ** 2)
+
+    def loss_ref(qkv, wl, bl, ww, bw):
+        return jnp.sum(_reference(qkv, wl, bl, ww, bw, h, scale) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(qkv, wl, bl, ww, bw)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(qkv, wl, bl, ww, bw)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_dispatch_declines_off_tpu(monkeypatch):
+    from tfimm_tpu.ops.pallas.cait_attention import (
+        talking_head_attention_or_none,
+    )
+
+    qkv, wl, bl, ww, bw, h, scale = _inputs()
+    monkeypatch.delenv("TFIMM_TPU_PALLAS_INTERPRET", raising=False)
+    assert talking_head_attention_or_none(
+        qkv, wl, bl, ww, bw, nb_heads=h, scale=scale) is None

@@ -11,13 +11,14 @@ Paper: Going deeper with Image Transformers, https://arxiv.org/abs/2103.17239.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from tfimm_tpu.core import capture_feature
+from tfimm_tpu.core import capture_feature, current_context
 from tfimm_tpu.models.base import Model
 from tfimm_tpu.models.config import ModelConfig
 from tfimm_tpu.models.registry import register_model
@@ -131,6 +132,28 @@ class TalkingHeadAttention:
     def __call__(self, p, x):
         b, n, d = x.shape
         h, hd = self.nb_heads, self.head_dim
+
+        ctx = current_context()
+        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and not (ctx.training and self.attn_drop_rate > 0.0)):
+            # Fused talking-head kernel: both (H, H) head mixes fold into
+            # lane scalings of Q/V, so the (B, H, N, N) score tensor never
+            # round-trips HBM (tfimm_tpu/ops/pallas/cait_attention.py). The
+            # dispatcher declines off-TPU; unused ops are then DCE'd.
+            from tfimm_tpu.ops.pallas.cait_attention import (
+                talking_head_attention_or_none,
+            )
+
+            qkv_flat = self.qkv(p["qkv"], x)
+            out = talking_head_attention_or_none(
+                qkv_flat, p["proj_l"]["kernel"], p["proj_l"].get("bias"),
+                p["proj_w"]["kernel"], p["proj_w"].get("bias"),
+                nb_heads=h, scale=self.scale,
+            )
+            if out is not None:
+                out = self.proj(p["proj"], out)
+                return dropout(out, self.proj_drop_rate)
+
         qkv = self.qkv(p["qkv"], x).reshape(b, n, 3, h, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]

@@ -1,0 +1,209 @@
+"""Fused talking-head attention kernel for CaiT-style models.
+
+CaiT's main blocks use talking-head attention (reference for the role, not
+the design: tfimm/architectures/cait.py:70-101): raw per-head scores are
+mixed across the head axis by a learned (H, H) matrix (``proj_l``) before
+softmax and by another (``proj_w``) after it. The XLA path materialises the
+(B, H, N, N) score tensor in HBM several times (scores -> head mix ->
+softmax -> head mix), with a head-axis transpose around each mix — for
+cait_s24 at bs128 that is ~150 MB of f32 traffic per round trip per block,
+and it is why the model measured ~19% of v5e roofline while its dense
+matmuls run at 85%+.
+
+Kernel strategy ("folded head mix"): both mixes are linear, so they fold
+into lane scalings of Q and V — no explicit (H, N, N) tensor ever exists:
+
+    s'_g  = (q . w_l~[g]) @ K^T + b_l[g]      # w_l~[g] repeats w_l[h, g]
+                                              # over head h's d lanes
+    p_g   = softmax(s'_g)
+    out   = sum_g p_g @ (v . w_w~[g]) + b_w~ * colsum(v)
+
+Each contraction runs over the FULL D = H*d lanes, so the MXU never sees
+the d=48 head width that forces 128-lane padding waste in the per-head
+formulation, and one grid program (one batch row) keeps everything — qkv
+block, one (N, N) f32 score matrix at a time, the (N, D) f32 output
+accumulator — resident in VMEM. The ``b_w~ * colsum(v)`` term is the
+post-softmax mix's bias: rows of p sum to 1 pre-mix, so the bias becomes a
+rank-1 correction from the column sums of V.
+
+Cost: 2*H*N^2*D MACs per row — H/d * 128 the ideal per-head count, i.e.
+the same MXU time a d->128 padded per-head formulation would spend, but
+with zero score-tensor HBM traffic and no transposes.
+
+Differentiation: a custom VJP runs a pure-JAX twin for both the primal and
+the backward under AD (same pattern as ops/pallas/swin_block.py), so
+gradient workloads get the composed XLA path while inference gets the
+kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
+
+__all__ = ["talking_head_attention", "talking_head_attention_or_none"]
+
+_VMEM_LIMIT_BYTES = 10 * 2 ** 20
+
+
+def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
+                           scale: float, interpret: bool = False):
+    """Fused talking-head attention from the packed qkv projection.
+
+    Args:
+        qkv: (B, N, 3*D), last dim ordered (3, H, d) — the timm layout.
+        w_l: (H, H) pre-softmax head-mix kernel (applied as ``s @ w_l``
+            with the head axis last, i.e. output head g reads column g).
+        b_l: (H,) pre-softmax bias or None.
+        w_w: (H, H) post-softmax head-mix kernel.
+        b_w: (H,) post-softmax bias or None.
+        nb_heads: H.
+        scale: 1/sqrt(d) applied to q.
+
+    Returns:
+        (B, N, D) attention output, heads re-concatenated, dtype of qkv.
+    """
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    h = nb_heads
+    d = dim // h
+    if h * d != dim:
+        raise ValueError(f"D={dim} not divisible by nb_heads={h}")
+
+    f32 = jnp.float32
+    if b_l is None:
+        b_l = jnp.zeros((h,), f32)
+    if b_w is None:
+        b_w = jnp.zeros((h,), f32)
+    # Lane-expanded mix rows: qs[g, h*d+j] = scale * w_l[h, g]
+    #                         vs[g, h*d+j] = w_w[g, h]
+    qs = jnp.repeat(w_l.astype(f32), d, axis=0).T * scale      # (H, D)
+    vs = jnp.repeat(w_w.astype(f32), d, axis=1)                # (H, D)
+    # Pre-softmax bias as a (H, N) broadcast tile (2-D VMEM-friendly; the
+    # scalar value repeats over the key axis).
+    blt = jnp.broadcast_to(b_l.astype(f32)[:, None], (h, n))   # (H, N)
+    # Post-softmax bias expanded to lanes: bw_lanes[h*d+j] = b_w[h].
+    bwl = jnp.repeat(b_w.astype(f32), d)[None, :]              # (1, D)
+
+    def spec(part):
+        return pl.BlockSpec(
+            (1, n, dim), lambda i, part=part: (i, 0, part),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, qs_ref, vs_ref, bl_ref, bw_ref, o_ref):
+        q = q_ref[0]
+        k32 = k_ref[0].astype(f32)
+        v = v_ref[0]
+        vsum = jnp.sum(v.astype(f32), axis=0, keepdims=True)    # (1, D)
+        acc = jnp.broadcast_to(bw_ref[0:1, :] * vsum, (n, dim))
+        for g in range(h):
+            qg = q.astype(f32) * qs_ref[g:g + 1, :]             # (N, D)
+            s = jax.lax.dot_general(
+                qg, k32, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) + bl_ref[g:g + 1, :]
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            vg = (v.astype(f32) * vs_ref[g:g + 1, :]).astype(v.dtype)
+            acc = acc + jax.lax.dot_general(
+                p, vg, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec(0), spec(1), spec(2),
+                  full((h, dim)), full((h, dim)), full((h, n)),
+                  full((1, dim))],
+        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, qs, vs, blt, bwl)
+
+
+def _reference(qkv, w_l, b_l, w_w, b_w, nb_heads, scale):
+    """Pure-JAX twin of the XLA talking-head path from packed qkv
+    (mirrors architectures/cait.py TalkingHeadAttention sans dropout)."""
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    h = nb_heads
+    hd = dim // h
+    dt = qkv.dtype
+    q, k, v = (qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)[i]
+               for i in range(3))
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, dt), k)
+    attn = jnp.einsum("bqkh,hg->bqkg", attn.transpose(0, 2, 3, 1),
+                      w_l.astype(dt))
+    if b_l is not None:
+        attn = attn + b_l.astype(dt)
+    attn = jax.nn.softmax(attn.transpose(0, 3, 1, 2).astype(jnp.float32),
+                          axis=-1).astype(dt)
+    attn = jnp.einsum("bqkh,hg->bqkg", attn.transpose(0, 2, 3, 1),
+                      w_w.astype(dt))
+    if b_w is not None:
+        attn = attn + b_w.astype(dt)
+    attn = attn.transpose(0, 3, 1, 2)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
+    return talking_head_attention(qkv, w_l, b_l, w_w, b_w,
+                                  nb_heads=nb_heads, scale=scale,
+                                  interpret=interpret)
+
+
+def _th_fwd(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
+    # Under differentiation, run the twin for the primal too: fwd/bwd then
+    # both come from the same XLA composition (see swin_block.py rationale).
+    out = _reference(qkv, w_l, b_l, w_w, b_w, nb_heads, scale)
+    return out, (qkv, w_l, b_l, w_w, b_w)
+
+
+def _th_bwd(nb_heads, scale, interpret, res, g):
+    qkv, w_l, b_l, w_w, b_w = res
+    _, vjp = jax.vjp(
+        lambda qkv, wl, bl, ww, bw: _reference(qkv, wl, bl, ww, bw,
+                                               nb_heads, scale),
+        qkv, w_l, b_l, w_w, b_w)
+    return vjp(g)
+
+
+talking_head_diff.defvjp(_th_fwd, _th_bwd)
+
+
+def talking_head_attention_or_none(qkv, w_l, b_l, w_w, b_w, *,
+                                   nb_heads: int, scale: float):
+    """Dispatch: fused kernel when it applies, else None (caller falls back).
+
+    Conditions: TPU backend (or forced interpret), one batch row's working
+    set fits VMEM. Differentiable via the AD-twin custom VJP.
+    """
+    interpret = interpret_forced()
+    if not (on_tpu() or interpret):
+        return None
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    if dim % nb_heads:
+        return None
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    # qkv blocks + output + f32 accumulator + one f32 score matrix.
+    vmem = 4 * n * dim * itemsize + n * dim * 4 + n * n * 4 + 2 * n * dim * 4
+    if vmem > _VMEM_LIMIT_BYTES:
+        return None
+    return talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale,
+                             interpret)
