@@ -483,11 +483,87 @@ def gen_hf_bit():
     )
 
 
+def gen_hf_efficientnet():
+    """HF transformers EfficientNet (faithful TF port: asymmetric SAME pads
+    via ZeroPad2d for stride-2 convs, BN eps 1e-3, swish) vs our
+    efficientnet_b0 config at width/depth 0.5 — exercises the tf_-SAME
+    trap end to end against code nobody in this repo wrote."""
+    from transformers import (EfficientNetConfig,
+                              EfficientNetForImageClassification)
+
+    torch.manual_seed(211)
+    cfg = EfficientNetConfig(width_coefficient=0.25, depth_coefficient=0.5,
+                             image_size=64, num_labels=10, hidden_dim=320)
+    model = EfficientNetForImageClassification(cfg)
+    inp = fixed_image(211, 2, 64)
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(inp).permute(0, 3, 1, 2)).logits.numpy()
+
+    # Flat HF block index -> timm (stage, idx); ceil(0.5 * [1,2,2,3,3,4,1]).
+    repeats = [1, 1, 1, 2, 2, 2, 1]
+    expand = [1, 6, 6, 6, 6, 6, 6]
+    rules = [
+        (r"^efficientnet\.embeddings\.convolution\.", "conv_stem."),
+        (r"^efficientnet\.embeddings\.batchnorm\.", "bn1."),
+        (r"^efficientnet\.encoder\.top_conv\.", "conv_head."),
+        (r"^efficientnet\.encoder\.top_bn\.", "bn2."),
+    ]
+    b = 0
+    for s, (r, e) in enumerate(zip(repeats, expand)):
+        for i in range(r):
+            src = rf"^efficientnet\.encoder\.blocks\.{b}\."
+            dst = f"blocks.{s}.{i}."
+            if e == 1:  # ds block: dw -> bn1 -> se -> pw -> bn2
+                rules += [
+                    (src + r"depthwise_conv\.depthwise_conv\.",
+                     dst + "conv_dw."),
+                    (src + r"depthwise_conv\.depthwise_norm\.", dst + "bn1."),
+                    (src + r"squeeze_excite\.reduce\.",
+                     dst + "se.conv_reduce."),
+                    (src + r"squeeze_excite\.expand\.",
+                     dst + "se.conv_expand."),
+                    (src + r"projection\.project_conv\.", dst + "conv_pw."),
+                    (src + r"projection\.project_bn\.", dst + "bn2."),
+                ]
+            else:  # ir block: pw -> bn1 -> dw -> bn2 -> se -> pwl -> bn3
+                rules += [
+                    (src + r"expansion\.expand_conv\.", dst + "conv_pw."),
+                    (src + r"expansion\.expand_bn\.", dst + "bn1."),
+                    (src + r"depthwise_conv\.depthwise_conv\.",
+                     dst + "conv_dw."),
+                    (src + r"depthwise_conv\.depthwise_norm\.", dst + "bn2."),
+                    (src + r"squeeze_excite\.reduce\.",
+                     dst + "se.conv_reduce."),
+                    (src + r"squeeze_excite\.expand\.",
+                     dst + "se.conv_expand."),
+                    (src + r"projection\.project_conv\.", dst + "conv_pwl."),
+                    (src + r"projection\.project_bn\.", dst + "bn3."),
+                ]
+            b += 1
+
+    sd = _remap(dict(model.state_dict()), rules)
+    save_fixture(
+        "hf_efficientnet", sd, inp, out,
+        model_name="efficientnet_b0",
+        kwargs=dict(input_size=(64, 64), stem_size=8, nb_features=320,
+                    channel_multiplier=0.25, depth_multiplier=0.5,
+                    nb_classes=10, drop_rate=0.0, drop_path_rate=0.0),
+        source="huggingface/transformers EfficientNetForImageClassification "
+               "(independent TF-semantics implementation; state_dict "
+               "remapped to timm keys)",
+    )
+
+
 def main():
     install_timm_shim()
-    for fn in (gen_poolformer, gen_pvt, gen_pvt_v2, gen_pvt_v2_linear,
-               gen_hf_vit, gen_hf_convnext, gen_hf_swin, gen_hf_resnet,
-               gen_hf_bit):
+    gens = (gen_poolformer, gen_pvt, gen_pvt_v2, gen_pvt_v2_linear,
+            gen_hf_vit, gen_hf_convnext, gen_hf_swin, gen_hf_resnet,
+            gen_hf_bit, gen_hf_efficientnet)
+    only = set(sys.argv[1:])
+    for fn in gens:
+        if only and fn.__name__ not in only:
+            continue
         try:
             fn()
         except Exception as e:  # keep generating the rest; report at the end
