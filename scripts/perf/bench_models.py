@@ -63,7 +63,9 @@ def bench_backprop(model_name, batch_size, dtype, n1=3, n2=13):
     opt_state = tx.init(model.params)
 
     def loss_fn(params, x):
-        return model.apply(params, x, training=True).astype(jnp.float32).mean()
+        # training=False: grad-of-inference, matching utils/profile.py's
+        # published methodology (BN on running stats, no dropout rng).
+        return model.apply(params, x, training=False).astype(jnp.float32).mean()
 
     @jax.jit
     def steps(params, opt_state, x, n):
@@ -73,7 +75,10 @@ def bench_backprop(model_name, batch_size, dtype, n1=3, n2=13):
             updates, opt_state = tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state
         params, opt_state = jax.lax.fori_loop(0, n, body, (params, opt_state))
-        return jax.tree.leaves(params)[0].mean()
+        # Depend on EVERY updated leaf — a single leaf lets XLA DCE part of
+        # the backward pass (see utils/profile.py time_model).
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for leaf in jax.tree.leaves(params))
 
     params = jax.device_put(model.params)
 

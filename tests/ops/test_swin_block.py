@@ -106,17 +106,30 @@ def test_whole_swin_model_fused_path(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
 
 
-def test_fused_block_declines_c96_unshifted(monkeypatch):
-    """C=96 without a shift mask is measurement-gated to the XLA path."""
-    import jax.numpy as jnp
-
+def test_fused_block_c96_unshifted_padded_path(monkeypatch):
+    """C=96 unshifted takes the fused kernel since window padding made it
+    win (exp_swin_pad.py: 4.10 vs ~5.2 ms) — and the padded windows (49 ->
+    52 rows, -1e9 bias on pad keys) must be numerically invisible."""
     blk, p = _block(shift=0)
-    ws = blk.window_size
-    wins = jnp.zeros((8, ws * ws, 96), jnp.float32)
-    bias = jnp.zeros((3, ws * ws, ws * ws), jnp.float32)
+    hw, c, ws = 14, 96, blk.window_size
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(2, hw * hw, c)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = blk(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
     monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
-    assert swin_block_or_none(p, wins, bias, None, nb_heads=3,
-                              scale=blk.attn.scale) is None
+    wins = window_partition(x.reshape(2, hw, hw, c), ws).reshape(-1, ws * ws, c)
+    bias = p["attn"]["relative_position_bias_table"][
+        blk.attn.rel_pos_index.reshape(-1)
+    ].reshape(ws * ws, ws * ws, 3).transpose(2, 0, 1)
+    out = swin_block_or_none(p, wins, bias, None, nb_heads=3,
+                             scale=blk.attn.scale)
+    assert out is not None
+    assert out.shape == wins.shape
+    o = window_reverse(out.reshape(-1, ws, ws, c), ws, hw, hw)
+    np.testing.assert_allclose(np.asarray(o.reshape(2, hw * hw, c)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
 def test_fused_block_gradients_match_reference(monkeypatch):

@@ -30,10 +30,11 @@ Cost: 2*H*N^2*D MACs per row — H/d * 128 the ideal per-head count, i.e.
 the same MXU time a d->128 padded per-head formulation would spend, but
 with zero score-tensor HBM traffic and no transposes.
 
-Differentiation: a custom VJP runs a pure-JAX twin for both the primal and
-the backward under AD (same pattern as ops/pallas/swin_block.py), so
-gradient workloads get the composed XLA path while inference gets the
-kernel.
+Differentiation: a custom VJP pairs the forward with a Pallas backward
+kernel (softmax recomputed per head — the flash trade; mix-matrix
+gradients reduce over lane segments via a constant one-hot (D, H) matmul,
+so no sub-128-lane slicing). b_l's gradient is identically zero by softmax
+shift invariance and is returned as exact zeros.
 """
 
 from __future__ import annotations
@@ -160,6 +161,132 @@ def _reference(qkv, w_l, b_l, w_w, b_w, nb_heads, scale):
     return out.transpose(0, 2, 1, 3).reshape(b, n, dim)
 
 
+def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
+                     interpret=False):
+    """Pallas backward: recompute each head's softmax (flash trade) and
+    emit dqkv plus per-row mix-matrix gradients (summed over B outside).
+
+    The mix gradients reduce over lane SEGMENTS (head h's d lanes): that is
+    a (1, D) @ (D, H) matmul against a constant one-hot lane->head matrix,
+    so no sub-128-lane slicing ever happens.
+    """
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    h = nb_heads
+    d = dim // h
+    f32 = jnp.float32
+
+    qs = jnp.repeat(w_l.astype(f32), d, axis=0).T * scale       # (H, D)
+    vs = jnp.repeat(w_w.astype(f32), d, axis=1)                 # (H, D)
+    blt = jnp.broadcast_to(b_l.astype(f32)[:, None], (h, n))    # (H, N)
+    bwl = jnp.repeat(b_w.astype(f32), d)[None, :]               # (1, D)
+    onehot = jnp.repeat(jnp.eye(h, dtype=f32), d, axis=0)       # (D, H)
+
+    def spec(part):
+        return pl.BlockSpec(
+            (1, n, dim), lambda i, part=part: (i, 0, part),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, g_ref, qs_ref, vs_ref, bl_ref, bw_ref,
+               oh_ref, dqkv_ref, dl_ref, dw_ref):
+        q32 = q_ref[0].astype(f32)
+        k32 = k_ref[0].astype(f32)
+        v32 = v_ref[0].astype(f32)
+        do = g_ref[0].astype(f32)
+        oh = oh_ref[...]
+        vsum = jnp.sum(v32, axis=0, keepdims=True)              # (1, D)
+        docol = jnp.sum(do, axis=0, keepdims=True)              # (1, D)
+        qsc = q32 * scale
+
+        # bias-of-proj_w term: out += bwl * vsum (broadcast over rows)
+        dv = jnp.broadcast_to(bw_ref[0:1, :] * docol, (n, dim))
+        dbw_row = jax.lax.dot_general(
+            docol * vsum, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                          # (1, H)
+        dq = jnp.zeros((n, dim), f32)
+        dk = jnp.zeros((n, dim), f32)
+        dl_rows = []
+        dw_rows = []
+        for g in range(h):
+            ag = qs_ref[g:g + 1, :]
+            bg = vs_ref[g:g + 1, :]
+            qg = q32 * ag
+            s = jax.lax.dot_general(
+                qg, k32, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32) + bl_ref[g:g + 1, :]
+            p = jax.nn.softmax(s, axis=-1)
+            # PV side
+            dvg = jax.lax.dot_general(
+                p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (N, D)
+            dv = dv + bg * dvg
+            dww_g = jax.lax.dot_general(
+                jnp.sum(dvg * v32, axis=0, keepdims=True), oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (1, H)
+            dp = jax.lax.dot_general(
+                do, v32 * bg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                      # (N, N)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            t = jax.lax.dot_general(
+                ds, k32, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (N, D)
+            dq = dq + ag * t
+            dwl_g = jax.lax.dot_general(
+                jnp.sum(qsc * t, axis=0, keepdims=True), oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (1, H)
+            dk = dk + jax.lax.dot_general(
+                ds, qg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (N, D)
+            dl_rows.append(
+                jnp.concatenate([dwl_g, jnp.zeros((1, 1), f32)], axis=1))
+            dw_rows.append(
+                jnp.concatenate([dww_g, jnp.zeros((1, 1), f32)], axis=1))
+        dl_rows.append(jnp.zeros((1, h + 1), f32))
+        dw_rows.append(
+            jnp.concatenate([dbw_row, jnp.zeros((1, 1), f32)], axis=1))
+        dqkv_ref[0, :, 0:dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, dim:2 * dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * dim:] = dv.astype(dqkv_ref.dtype)
+        dl_ref[0] = jnp.concatenate(dl_rows, axis=0)
+        dw_ref[0] = jnp.concatenate(dw_rows, axis=0)
+
+    dqkv, dl, dw = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec(0), spec(1), spec(2),
+                  pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full((h, dim)), full((h, dim)), full((h, n)),
+                  full((1, dim)), full((dim, h))],
+        out_specs=[pl.BlockSpec((1, n, dim * 3), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, h + 1, h + 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, h + 1, h + 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, three_d), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, h + 1, h + 1), f32),
+                   jax.ShapeDtypeStruct((b, h + 1, h + 1), f32)],
+        interpret=interpret,
+    )(qkv, qkv, qkv, dout, qs, vs, blt, bwl, onehot)
+
+    dwl = dl[:, :h, :h].sum(axis=0).T.astype(w_l.dtype)
+    # b_l shifts every key column of a head's scores equally, and softmax is
+    # shift-invariant, so its true gradient is identically zero (autodiff of
+    # the unfused path returns the same up to f32 noise).
+    dbl = jnp.zeros_like(b_l)
+    dww = dw[:, :h, :h].sum(axis=0).astype(w_w.dtype)
+    dbw = dw[:, h, :h].sum(axis=0).astype(b_w.dtype)
+    return dqkv, dwl, dbl, dww, dbw
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
     return talking_head_attention(qkv, w_l, b_l, w_w, b_w,
@@ -168,19 +295,26 @@ def talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
 
 
 def _th_fwd(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
-    # Under differentiation, run the twin for the primal too: fwd/bwd then
-    # both come from the same XLA composition (see swin_block.py rationale).
-    out = _reference(qkv, w_l, b_l, w_w, b_w, nb_heads, scale)
+    if b_l is None or b_w is None:
+        # Rare path (CaiT always has mix biases): fall back to the AD twin
+        # so cotangent structure matches the inputs.
+        out = _reference(qkv, w_l, b_l, w_w, b_w, nb_heads, scale)
+        return out, (qkv, w_l, b_l, w_w, b_w)
+    out = talking_head_attention(qkv, w_l, b_l, w_w, b_w, nb_heads=nb_heads,
+                                 scale=scale, interpret=interpret)
     return out, (qkv, w_l, b_l, w_w, b_w)
 
 
 def _th_bwd(nb_heads, scale, interpret, res, g):
     qkv, w_l, b_l, w_w, b_w = res
-    _, vjp = jax.vjp(
-        lambda qkv, wl, bl, ww, bw: _reference(qkv, wl, bl, ww, bw,
-                                               nb_heads, scale),
-        qkv, w_l, b_l, w_w, b_w)
-    return vjp(g)
+    if b_l is None or b_w is None:
+        _, vjp = jax.vjp(
+            lambda qkv, wl, bl, ww, bw: _reference(qkv, wl, bl, ww, bw,
+                                                   nb_heads, scale),
+            qkv, w_l, b_l, w_w, b_w)
+        return vjp(g)
+    return _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, g, nb_heads, scale,
+                            interpret=interpret)
 
 
 talking_head_diff.defvjp(_th_fwd, _th_bwd)

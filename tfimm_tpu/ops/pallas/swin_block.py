@@ -214,16 +214,28 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
         return None
     if bw % 2 or n > 128:
         return None
-    # Measured per-block vs the unfused window_mha path (bs128 bf16, slope
-    # timing, scripts/perf/exp_swin_fused.py): C=96 shifted 1.22x, C=192
-    # 1.28x/1.13x, C=384 1.24x/1.06x wins — but C=96 UNSHIFTED loses 0.88x
-    # (the in-kernel per-program GEMMs at M=wb*2N can't beat XLA's one giant
-    # batched GEMM when the attention side carries no mask work to absorb).
-    if c < 128 and mask is None:
-        return None
     nb_win = mask.shape[0] if mask is not None else 1
     if bw % nb_win or (mask is not None and nb_win % 2):
         return None
+    # Sublane alignment: pair slices inside the kernel are 2n rows, and any
+    # 2n % 8 != 0 forces Mosaic relayouts on every per-pair Q/K/V slice and
+    # the output concatenate. Measured (scripts/perf/exp_swin_pad.py, bs128
+    # bf16 slope timing): padding 49-token windows to 52 wins 1.47x at
+    # C=96 shifted / 1.44x unshifted / 1.35x at C=192; padding further to
+    # 64 gains nothing (alignment, not score FLOPs, was the cost). The
+    # padded key columns get -1e9 via the bias; padded query rows are
+    # garbage and sliced off. With this, fused also beats the unfused path
+    # at C=96 UNSHIFTED (4.10 vs ~5.2 ms), which round-1 had gated to XLA.
+    n0 = n
+    n = -(-n // 4) * 4
+    if n != n0:
+        x_windows = jnp.pad(x_windows, ((0, 0), (0, n - n0), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, n - n0), (0, n - n0)))
+        bias = jnp.concatenate(
+            [bias[:, :, :n0],
+             jnp.full((nb_heads, n, n - n0), -1e9, bias.dtype)], axis=-1)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, n - n0), (0, n - n0)))
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]
     nb_winp = max(1, nb_win // 2)
     wb = _pick_wb(bw // 2, nb_heads, nb_winp, mask is not None)
@@ -258,8 +270,9 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
         "g1": p["norm1"]["scale"][None], "be1": p["norm1"]["bias"][None],
         "g2": p["norm2"]["scale"][None], "be2": p["norm2"]["bias"][None],
     }
-    return swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
-                           interpret)
+    out = swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
+                          interpret)
+    return out[:, :n0, :] if n != n0 else out
 
 
 def _reference_block(x, params, bias, mask, nb_heads, scale):

@@ -383,6 +383,25 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     nb_win = mask.shape[0] if mask is not None else 1
     if bw % nb_win:
         return None
+    # Sublane alignment (see swin_block.py): packed groups are g*n rows, and
+    # 49-token windows leave them misaligned (98 % 8 != 0), which costs a
+    # Mosaic relayout on every per-group slice — measured 1.35-1.47x on the
+    # fused-block kernel that shares this structure. Pad windows to a
+    # multiple of 4 tokens; padded key columns get -1e9 through the bias and
+    # padded query rows are sliced off. The pad/slice sit OUTSIDE the custom
+    # VJP, so autodiff (incl. the bias-table gradient) routes through them.
+    n0 = n
+    npad = -(-n // 4) * 4
+    if npad != n:
+        pads = ((0, 0), (0, npad - n), (0, 0))
+        q, k, v = jnp.pad(q, pads), jnp.pad(k, pads), jnp.pad(v, pads)
+        bias = jnp.concatenate(
+            [jnp.pad(bias, ((0, 0), (0, npad - n), (0, 0))),
+             jnp.full((nb_heads, npad, npad - n), -1e9, bias.dtype)],
+            axis=-1)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, npad - n), (0, npad - n)))
+        n = npad
     g = _pack_factor(bw, n, nb_win, mask)
     if g > 1:
         n, bw, nb_win = g * n, bw // g, max(1, nb_win // g)
@@ -392,4 +411,5 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
             + (wb * n * n * 4 if mask is not None else 0))
     if vmem > _VMEM_LIMIT_BYTES:
         return None
-    return window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret)
+    out = window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret)
+    return out[:, :n0, :] if npad != n0 else out
