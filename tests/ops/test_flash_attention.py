@@ -219,6 +219,16 @@ def test_fused_mha_dispatch_conditions():
     assert fused_mha_or_none(qkv, 2, 1.0) is None
 
 
+def test_fused_mha_declines_odd_heads(monkeypatch):
+    """Odd head counts stay on XLA — a zero-padded 4th head was measured
+    NEGATIVE on vit_tiny (28349 -> 23004 img/s); see fused_mha_or_none."""
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
+
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    qkv = jnp.zeros((1, 8, 3 * 192), jnp.float32)
+    assert fused_mha_or_none(qkv, 3, 1.0) is None
+
+
 def test_fused_mha_vjp_matches_autodiff():
     """Custom-VJP backward (Pallas) vs XLA autodiff of the reference path."""
     import numpy as np

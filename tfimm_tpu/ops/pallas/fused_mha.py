@@ -206,8 +206,12 @@ from tfimm_tpu.ops.pallas.dispatch import on_tpu as _on_tpu
 def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     """Dispatch: run the fused kernel when it applies, else return None.
 
-    Conditions: TPU backend, head pairs are exactly 128 lanes (d=64, even H),
-    and one batch row's working set fits VMEM. Differentiable (custom VJP
+    Conditions: TPU backend, head pairs are exactly 128 lanes (d=64, even
+    H), and one batch row's working set fits VMEM. Odd head counts were
+    tried via a zero-padded 4th head and MEASURED NEGATIVE: vit_tiny
+    (3 heads) dropped 28349 -> 23004 img/s inference / 8255 -> 7044
+    backprop — the +1/3 score FLOPs and the pad/slice copies outweigh the
+    fusion win at C=192, so odd H stays on XLA. Differentiable (custom VJP
     with a Pallas backward kernel), so it serves training as well.
     """
     interpret = _interpret_forced()

@@ -124,7 +124,9 @@ def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
     operands.append(bias_p.astype(jnp.float32))
     in_specs.append(const(nb_heads, n2, n2))
     if mask is not None:
-        operands.append(mask_p.astype(jnp.float32))
+        # bf16: the shifted-window mask holds only {0, -100/-1e9}, all exact
+        # in bf16, and it is streamed per program — half the HBM traffic.
+        operands.append(mask_p.astype(jnp.bfloat16))
         in_specs.append(
             pl.BlockSpec((wb, n2, n2), lambda i: (i % (nb_winp // wb), 0, 0),
                          memory_space=pltpu.VMEM))

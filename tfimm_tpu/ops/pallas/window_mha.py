@@ -190,7 +190,9 @@ def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
         in_specs.append(
             pl.BlockSpec((wb, n, n), lambda i: (i % (nb_win // wb), 0, 0),
                          memory_space=pltpu.VMEM))
-        operands.append(mask.astype(jnp.float32))
+        # bf16: the mask holds only {0, -100/-1e9}, exact in bf16, and it
+        # is streamed per program — half the HBM traffic.
+        operands.append(mask.astype(jnp.bfloat16))
 
     def kernel(q_ref, k_ref, v_ref, b_ref, *rest):
         m_ref, o_ref = (rest if mask is not None else (None,) + rest)
@@ -283,7 +285,9 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
         in_specs.append(
             pl.BlockSpec((wb, n, n), lambda i: (i % (nb_win // wb), 0, 0),
                          memory_space=pltpu.VMEM))
-        operands.append(mask.astype(jnp.float32))
+        # bf16: the mask holds only {0, -100/-1e9}, exact in bf16, and it
+        # is streamed per program — half the HBM traffic.
+        operands.append(mask.astype(jnp.bfloat16))
     in_specs.append(io_spec)
     operands.append(g)
 
