@@ -30,6 +30,9 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 3865.84  # V100 fp32, results/profiling/v100.csv
 # results/flops.csv stores MACs (= FLOPs/2, the timm/tfimm table convention);
 # the roofline fraction needs true FLOPs: 17.84 GMACs -> 35.68 GFLOP/img.
+# SEMANTIC CHANGE (round 2): roofline_fraction values printed before this
+# 2x MACs->FLOPs correction (BENCH_r01.json) understate by exactly 2x —
+# compare historical JSON lines accordingly.
 VIT_B16_FLOPS = 2 * 17.84e9  # per image at 224x224
 V5E_BF16_PEAK = 197e12  # TFLOP/s
 

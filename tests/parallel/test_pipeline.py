@@ -92,6 +92,30 @@ def test_pipeline_gradients_match_sequential():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_pipeline_dp_composition_shards_batch():
+    """dp+pp: batch_axis shards the per-microbatch batch dim over "data"
+    instead of replicating it, and results still match sequential."""
+    dim, hidden, batch = 16, 24, 16
+    blocks = _make_blocks(8, dim, hidden, seed=5)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(batch, dim)),
+                    jnp.float32)
+    mesh = create_mesh((2, 4), ("data", "pipe"))
+    stacked = stack_block_params(blocks)
+    out = pipeline_apply(_block_fn, stacked, x, mesh=mesh,
+                         nb_microbatches=4, batch_axis="data")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_sequential(blocks, x)),
+                               atol=1e-5, rtol=1e-5)
+    # The output really is sharded over "data" on the batch dim (not an
+    # all-gathered replica): each device holds 1/2 of the batch rows.
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(batch // 2, dim)}
+
+    with pytest.raises(ValueError, match="batch axis size"):
+        pipeline_apply(_block_fn, stacked, x[:4], mesh=mesh,
+                       nb_microbatches=4, batch_axis="data")
+
+
 def test_pipeline_validates_divisibility():
     blocks = _make_blocks(6, 4, 4)
     x = jnp.zeros((4, 4))

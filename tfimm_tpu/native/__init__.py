@@ -53,36 +53,57 @@ _BUILD_FLAGS = [
 _PORTABLE_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17"]
 
 
-def _build_library() -> Path:
-    """Compile image_io.cpp into the cache dir, keyed by source + flags."""
-    src = _SRC.read_bytes()
-    tag = hashlib.sha256(src + " ".join(_BUILD_FLAGS).encode()).hexdigest()[:16]
-    out = _cache_dir() / f"libtfimm_image_io_{tag}.so"
-    if out.exists():
-        return out
-    out.parent.mkdir(parents=True, exist_ok=True)
-    cmd = [
-        "g++", *_BUILD_FLAGS,
-        str(_SRC), "-o", str(out), "-ljpeg", "-lpng",
-    ]
+def _host_tag() -> str:
+    """Host identifier for the build-cache key: -march=native binaries are
+    ISA-specific, and a shared (e.g. NFS) cache dir can be mounted on hosts
+    with different CPUs — a mismatched .so would SIGILL."""
+    import platform
+
+    cpu = platform.machine()
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except FileNotFoundError:
-        raise RuntimeError(
-            "tfimm_tpu.native needs a C++ toolchain (g++) to build the "
-            "image decoder; install one or use a Python-side decoder."
-        )
-    except subprocess.CalledProcessError as e:
-        # -march=native can be unsupported (exotic toolchains); retry portable.
-        cmd = ["g++", *_PORTABLE_FLAGS,
-               str(_SRC), "-o", str(out), "-ljpeg", "-lpng"]
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu += line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(cpu.encode()).hexdigest()[:8]
+
+
+def _so_path(flags) -> Path:
+    """Cache path keyed by source, the flags ACTUALLY used, and the host CPU
+    (the portable fallback gets its own tag, not the native one)."""
+    src = _SRC.read_bytes()
+    key = src + " ".join(flags).encode() + _host_tag().encode()
+    tag = hashlib.sha256(key).hexdigest()[:16]
+    return _cache_dir() / f"libtfimm_image_io_{tag}.so"
+
+
+def _build_library() -> Path:
+    """Compile image_io.cpp into the cache dir, keyed by source+flags+host."""
+    for flags, is_fallback in ((_BUILD_FLAGS, False), (_PORTABLE_FLAGS, True)):
+        out = _so_path(flags)
+        if out.exists():
+            return out
+        out.parent.mkdir(parents=True, exist_ok=True)
+        cmd = ["g++", *flags, str(_SRC), "-o", str(out), "-ljpeg", "-lpng"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except subprocess.CalledProcessError:
+            return out
+        except FileNotFoundError:
             raise RuntimeError(
-                f"Failed to build native image decoder:\n{e.stderr}"
+                "tfimm_tpu.native needs a C++ toolchain (g++) to build the "
+                "image decoder; install one or use a Python-side decoder."
             )
-    return out
+        except subprocess.CalledProcessError as e:
+            # -march=native can be unsupported (exotic toolchains); the loop
+            # retries with portable flags under the portable cache tag.
+            if is_fallback:
+                raise RuntimeError(
+                    f"Failed to build native image decoder:\n{e.stderr}"
+                )
+    raise AssertionError("unreachable")
 
 
 _lib = None

@@ -41,7 +41,8 @@ def stack_block_params(block_params_list):
 
 
 def pipeline_apply(block_fn: Callable, stacked_params, x, *, mesh: Mesh,
-                   axis: str = "pipe", nb_microbatches: int):
+                   axis: str = "pipe", nb_microbatches: int,
+                   batch_axis=None):
     """Apply L stacked blocks to ``x`` as an S-stage GPipe pipeline.
 
     Args:
@@ -52,10 +53,14 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, *, mesh: Mesh,
             size S.
         x: global batch ``(B, ...)``; B must be divisible by
             ``nb_microbatches``.
-        mesh: mesh containing ``axis``; other axes may shard the batch dim of
-            ``x`` (pass it in already sharded — the batch dim spec is
-            preserved on the microbatched view).
+        mesh: mesh containing ``axis``.
         nb_microbatches: M; the batch is split into M equal microbatches.
+        batch_axis: optional mesh axis name (or tuple of names) to shard the
+            per-microbatch batch dim over — this is how dp composes with pp
+            (each data shard runs the same pipeline on its slice of every
+            microbatch). ``None`` (default) replicates ``x`` across all
+            non-pipe axes. The per-microbatch batch ``B / M`` must divide by
+            the batch-axis size.
 
     Returns:
         ``block_fn`` applied L times to x, identical (up to reordering of the
@@ -77,12 +82,24 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, *, mesh: Mesh,
         raise ValueError(f"{leading} blocks not divisible by {s} pipeline "
                          f"stages")
 
-    # (M, mb, ...) microbatch view; replicated over the pipe axis.
+    # (M, mb, ...) microbatch view; replicated over the pipe axis, with the
+    # per-microbatch batch dim optionally sharded over batch_axis (dp+pp).
     xm = x.reshape((m, b // m) + x.shape[1:])
+    if batch_axis is not None:
+        names = (batch_axis,) if isinstance(batch_axis, str) else tuple(
+            batch_axis)
+        d = 1
+        for n in names:
+            d *= mesh.shape[n]
+        if (b // m) % d:
+            raise ValueError(
+                f"per-microbatch batch {b // m} not divisible by batch axis "
+                f"size {d} ({names})")
 
     param_spec = jax.tree.map(lambda _: P(axis), stacked_params)
-    in_specs = (param_spec, P())
-    out_spec = P()
+    x_spec = P(None, batch_axis)
+    in_specs = (param_spec, x_spec)
+    out_spec = x_spec
 
     def body(params, xm):  # params: (L/S, ...); xm: (M, mb, ...)
         stage = jax.lax.axis_index(axis)
@@ -131,4 +148,10 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, *, mesh: Mesh,
         mapped = shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_spec, check_rep=False)
     out = mapped(stacked_params, xm)
-    return out.reshape(x.shape)
+    out = out.reshape(x.shape)
+    if batch_axis is not None:
+        # Merging (M, mb) would otherwise let XLA gather the batch dim;
+        # keep the output sharded like a dp activation.
+        out = jax.lax.with_sharding_constraint(
+            out, jax.sharding.NamedSharding(mesh, P(batch_axis)))
+    return out

@@ -185,6 +185,8 @@ def find_max_batch_size(
             break
         good, good_rate = bs, rate
         bs *= 2
+        if max_batch_size is not None and good < max_batch_size < bs:
+            bs = max_batch_size  # doubling overshot the cap: test the cap
     else:
         # Stopped at the cap without an OOM: the cap is the answer (a
         # lower bound on the true maximum) — don't bisect past it.
