@@ -1,0 +1,237 @@
+"""Publishable per-op roofline decomposition for the north-star configs.
+
+For ViT-B/16 and ConvNeXt-B @ bs128 bf16 this measures (slope timing) every
+constituent op at the model's exact shapes, prints a markdown table
+reconciling measured img/s with the 197 TFLOP/s v5e bf16 denominator, and
+derives a `practical_ceiling_fraction`: the roofline fraction the model would
+hit if every op ran at its own measured per-op best — i.e. what's left after
+subtracting physics (VPU-bound dwconv, d=64 MXU padding) from the gap.
+
+Output goes into results/README.md (VERDICT round-2 item 2); bench.py prints
+the ceiling fraction next to roofline_fraction.
+
+Usage: python scripts/perf/decompose_roofline.py [vit|convnext]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK = 197e12  # v5e bf16 TFLOP/s
+
+
+def timeit(fn, args, n1=10, n2=60):
+    """Differential on-device timing (see docs/profiling.md)."""
+
+    @jax.jit
+    def run(args, n):
+        def body(_, c):
+            out = fn(*c[1:], c[0])
+            return (c[0] + (out.mean() * 0).astype(c[0].dtype),) + c[1:]
+        return jax.lax.fori_loop(0, n, body, args)[0].mean()
+
+    def t(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.block_until_ready(run(args, n)))
+        return time.perf_counter() - t0
+
+    np.asarray(jax.block_until_ready(run(args, 2)))
+    t1, t2 = t(n1), t(n2)
+    for _ in range(3):
+        if t2 > t1:
+            break
+        t1, t2 = t(n1), t(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+ROWS = []
+
+
+def row(name, count, secs, flops, note=""):
+    """One op: per-call seconds, per-call FLOPs, how many calls per image
+    batch. Records and prints."""
+    tfs = flops / secs / 1e12 if secs else 0.0
+    ROWS.append((name, count, secs, flops, tfs, note))
+    print(f"{name:34s} x{count:3d} {secs*1e3:8.3f} ms "
+          f"{tfs:7.1f} TF/s ({100*tfs*1e12/PEAK:4.1f}% peak) {note}",
+          flush=True)
+
+
+def emit_markdown(model_name, batch, measured_img_s, flops_per_img):
+    total_t = sum(c * s for _, c, s, _, _, _ in ROWS)
+    total_fl = sum(c * f for _, c, _, f, _, _ in ROWS)
+    print("\n### markdown ###\n")
+    print(f"| op | calls | ms/call | ms total | GFLOP | TF/s | % peak | note |")
+    print(f"|---|---|---|---|---|---|---|---|")
+    for name, c, s, f, tfs, note in ROWS:
+        print(f"| {name} | {c} | {s*1e3:.3f} | {c*s*1e3:.2f} | "
+              f"{c*f/1e9:.1f} | {tfs:.1f} | {100*tfs*1e12/PEAK:.1f} | {note} |")
+    sum_img_s = batch / total_t
+    print(f"| **sum** | | | **{total_t*1e3:.2f}** | {total_fl/1e9:.1f} | "
+          f"{total_fl/total_t/1e12:.1f} | "
+          f"{100*(total_fl/total_t)/PEAK:.1f} | |")
+    print()
+    print(f"- op-sum throughput bound: {sum_img_s:.0f} img/s; measured "
+          f"whole-model: {measured_img_s:.0f} img/s "
+          f"({100*measured_img_s/sum_img_s:.0f}% of the op sum)")
+    rf_meas = measured_img_s * flops_per_img / PEAK
+    rf_sum = sum_img_s * flops_per_img / PEAK
+    print(f"- roofline_fraction: measured {rf_meas:.3f}, op-sum bound "
+          f"{rf_sum:.3f} (practical_ceiling_fraction)")
+    return rf_sum
+
+
+def decompose_vit():
+    rng = np.random.default_rng(0)
+    B, N, D, H, Dh = 128, 197, 768, 12, 3072
+    d = D // H
+    L = 12
+
+    def mk(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, size=shape), jnp.bfloat16)
+
+    # patch embed: 224x224 conv p16 = matmul (B*196, 768) x (768, 768)
+    xp = mk(B * 196, 16 * 16 * 3)
+    wp = mk(16 * 16 * 3, D)
+    s = timeit(lambda w, a: jnp.dot(a, w), (xp, wp))
+    row("patch embed (as matmul)", 1, s, 2 * B * 196 * 768 * D)
+
+    x = mk(B * N, D)
+    # LN (per block: 2)
+    from tfimm_tpu.ops.norm import LayerNorm
+
+    ln = LayerNorm(D, eps=1e-6)
+    p_ln = ln.init(jax.random.PRNGKey(0))
+    xb = mk(B, N, D)
+    s = timeit(lambda p, a: ln(p, a), (xb, p_ln))
+    row("LayerNorm(768)", 2 * L, s, 0, "HBM-bound: 2x r/w of (B,197,768)")
+
+    # qkv matmul
+    w = mk(D, 3 * D)
+    s = timeit(lambda w_, a: jnp.dot(a, w_), (x, w))
+    row("qkv matmul", L, s, 2 * B * N * D * 3 * D)
+
+    # fused MHA kernel (the shipping path)
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
+
+    qkv = mk(B, N, 3 * D)
+    out = fused_mha_or_none(qkv, nb_heads=H, scale=d ** -0.5)
+    if out is None:
+        print("fused_mha declined! (not on TPU?)")
+    else:
+        s = timeit(
+            lambda q: fused_mha_or_none(q, nb_heads=H, scale=d ** -0.5),
+            (qkv,))
+        attn_flops = 2 * 2 * B * H * N * N * d
+        row("fused MHA kernel", L, s, attn_flops,
+            "d=64 pads to 128 MXU tiles: ~50% ceiling by construction")
+
+    # proj matmul
+    w = mk(D, D)
+    s = timeit(lambda w_, a: jnp.dot(a, w_), (x, w))
+    row("attn proj matmul", L, s, 2 * B * N * D * D)
+
+    # MLP fc1+gelu+fc2 (fused by XLA; measure as one)
+    from tfimm_tpu.ops.mlp import MLP
+
+    mlp = MLP(D, Dh)
+    p_mlp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                         mlp.init(jax.random.PRNGKey(1)))
+    s = timeit(lambda p, a: mlp(p, a), (xb, p_mlp))
+    row("MLP (fc1+gelu+fc2)", L, s, 2 * 2 * B * N * D * Dh)
+
+    # head: pool+fc1000
+    wh = mk(D, 1000)
+    xh = mk(B, D)
+    s = timeit(lambda w_, a: jnp.dot(a, w_), (xh, wh))
+    row("head fc(1000)", 1, s, 2 * B * D * 1000)
+
+    # measured whole model for the reconciliation line
+    from tfimm_tpu import create_model
+    from tfimm_tpu.utils.profile import time_model
+
+    img_s = time_model("vit_base_patch16_224", target="inference",
+                       batch_size=B, nb_batches=5)
+    return emit_markdown("vit_base_patch16_224", B, img_s, 2 * 17.84e9)
+
+
+def decompose_convnext():
+    rng = np.random.default_rng(0)
+    B = 128
+    stages = [(128, 56, 3), (256, 28, 3), (512, 14, 27), (1024, 7, 3)]
+
+    def mk(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, size=shape), jnp.bfloat16)
+
+    # stem: 4x4 s4 conv = matmul (B*56*56, 48)x(48,128)
+    xs = mk(B * 56 * 56, 4 * 4 * 3)
+    ws = mk(4 * 4 * 3, 128)
+    s = timeit(lambda w, a: jnp.dot(a, w), (xs, ws))
+    row("stem conv (as matmul)", 1, s, 2 * B * 56 * 56 * 48 * 128)
+
+    from tfimm_tpu.ops.conv import DepthwiseConv2d
+    from tfimm_tpu.ops.norm import LayerNorm
+
+    for c, hw, depth in stages:
+        x = mk(B, hw, hw, c)
+        dw = DepthwiseConv2d(c, 7, padding=3)
+        pdw = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                           dw.init(jax.random.PRNGKey(2)))
+        s = timeit(lambda p, a: dw(p, a), (x, pdw))
+        row(f"dwconv7x7 C={c}", depth, s, 2 * B * hw * hw * c * 49,
+            "VPU-bound; no MXU formulation (measured exp_dwconv.py)")
+
+        ln = LayerNorm(c, eps=1e-6)
+        pln = ln.init(jax.random.PRNGKey(3))
+        s = timeit(lambda p, a: ln(p, a), (x, pln))
+        row(f"LayerNorm C={c}", depth, s, 0, "HBM-bound")
+
+        # pointwise MLP: (B*hw*hw, C) x (C, 4C) and back
+        xm = mk(B * hw * hw, c)
+        w1 = mk(c, 4 * c)
+        w2 = mk(4 * c, c)
+
+        def pw(w1_, w2_, a):
+            return jnp.dot(jax.nn.gelu(jnp.dot(a, w1_)), w2_)
+        s = timeit(pw, (xm, w1, w2))
+        row(f"pw MLP C={c}->4C->C", depth, s, 2 * 2 * B * hw * hw * c * 4 * c)
+
+        if c != 1024:
+            # downsample: LN + 2x2 s2 conv to 2C
+            xd = mk(B * (hw // 2) * (hw // 2), 4 * c)
+            wd = mk(4 * c, 2 * c)
+            s = timeit(lambda w, a: jnp.dot(a, w), (xd, wd))
+            row(f"downsample {c}->{2*c}", 1, s,
+                2 * B * (hw // 2) ** 2 * 4 * c * 2 * c)
+
+    wh = mk(1024, 1000)
+    xh = mk(B, 1024)
+    s = timeit(lambda w, a: jnp.dot(a, w), (xh, wh))
+    row("head fc(1000)", 1, s, 2 * B * 1024 * 1000)
+
+    from tfimm_tpu.utils.profile import time_model
+
+    img_s = time_model("convnext_base", target="inference", batch_size=B,
+                       nb_batches=5)
+    return emit_markdown("convnext_base", B, img_s, 2 * 15.36e9)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("vit", "both"):
+        print("== ViT-B/16 bs128 bf16 ==")
+        decompose_vit()
+        ROWS.clear()
+    if which in ("convnext", "both"):
+        print("\n== ConvNeXt-B bs128 bf16 ==")
+        decompose_convnext()
+
+
+if __name__ == "__main__":
+    main()

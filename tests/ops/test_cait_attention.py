@@ -115,3 +115,25 @@ def test_dispatch_declines_off_tpu(monkeypatch):
     monkeypatch.delenv("TFIMM_TPU_PALLAS_INTERPRET", raising=False)
     assert talking_head_attention_or_none(
         qkv, wl, bl, ww, bw, nb_heads=h, scale=scale) is None
+
+
+def test_dispatch_declines_non_lane_aligned_dim(monkeypatch):
+    """dim % 128 != 0 (e.g. cait_xxs24's 192) can't satisfy Mosaic's lane
+    divisibility for the (1, N, dim) qkv blocks — the dispatcher must fall
+    back to XLA instead of crashing at lowering (regression: the TPU zoo
+    sweep hit the Mosaic ValueError on cait_xxs24_224)."""
+    import numpy as np
+
+    from tfimm_tpu.ops.pallas.cait_attention import (
+        talking_head_attention_or_none,
+    )
+
+    h, d = 4, 48  # dim=192: divisible by heads, NOT by the 128-lane width
+    dim = h * d
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(2, 16, 3 * dim)), jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(h, h)), jnp.float32)
+    ww = jnp.asarray(rng.normal(size=(h, h)), jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    assert talking_head_attention_or_none(
+        qkv, wl, None, ww, None, nb_heads=h, scale=d ** -0.5) is None

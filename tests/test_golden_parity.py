@@ -2,11 +2,17 @@
 ground truth produced by INDEPENDENT PyTorch implementations.
 
 Fixtures (tests/fixtures/golden/*.npz) were generated once by
-scripts/make_golden_fixtures.py from:
+scripts/make_golden_fixtures.py and scripts/make_golden_fixtures_ref.py from:
   * the reference checkout's vendored third-party code (sail-sg PoolFormer,
     whai362 PVT/PVTv2 — the same files the reference's own parity tests use
     as ground truth, reference: tests/test_timm.py:38-71),
-  * HuggingFace transformers (ViT, ConvNeXt, Swin).
+  * HuggingFace transformers (ViT, ConvNeXt, Swin, ResNet, BiT,
+    EfficientNet),
+  * the reference's own TensorFlow models (ref_*: CaiT, MLP-Mixer, gMLP,
+    PiT, VGG, ConvMixer, ViT-Hybrid — families with no independent PyTorch
+    source in this image; TF variables are inverted to timm keys through the
+    reference's own mechanical mapping, tfimm/utils/timm.py:39).
+All 16 architecture families are covered.
 
 Unlike tests/test_pt_parity.py (whose torch refs live in this repo), none of
 this ground truth was authored here — a shared misunderstanding between our
@@ -64,7 +70,8 @@ def test_golden_parity(path):
 
 
 def test_fixtures_exist():
-    assert len(FIXTURES) >= 6, (
-        f"expected committed golden fixtures in {FIXTURE_DIR}, found "
-        f"{len(FIXTURES)} — run scripts/make_golden_fixtures.py"
+    assert len(FIXTURES) >= 17, (
+        f"expected committed golden fixtures covering all 16 families in "
+        f"{FIXTURE_DIR}, found {len(FIXTURES)} — run "
+        f"scripts/make_golden_fixtures.py + make_golden_fixtures_ref.py"
     )

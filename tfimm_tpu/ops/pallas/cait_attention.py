@@ -334,6 +334,12 @@ def talking_head_attention_or_none(qkv, w_l, b_l, w_w, b_w, *,
     dim = three_d // 3
     if dim % nb_heads:
         return None
+    if dim % 128:
+        # Mosaic requires the last block dim divisible by the 128-lane width
+        # (the (1, N, dim) qkv blocks partition the packed 3*dim axis, so
+        # "equal to the array dim" can't hold). cait_xxs* (dim=192) falls
+        # back to XLA; cait_s/m (384/768) take the kernel.
+        return None
     itemsize = jnp.dtype(qkv.dtype).itemsize
     # qkv blocks + output + f32 accumulator + one f32 score matrix.
     vmem = 4 * n * dim * itemsize + n * dim * 4 + n * n * 4 + 2 * n * dim * 4
