@@ -184,6 +184,51 @@ def test_flash_relpos_gradients_match_reference():
                                    rtol=2e-4, err_msg=f"d{name}")
 
 
+def test_flash_relpos_window_sized_backward():
+    """block_q = block_k = N takes the single-pass fused backward kernel
+    (_bwd_fused_kernel — the SAM windowed-block training path); gradients
+    incl. the rel terms must match autodiff through the XLA path."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+        get_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import flash_attention_relpos
+
+    rng = np.random.default_rng(7)
+    b, gh, gw, d = 2, 6, 6, 32  # N = 36: single-block, like SAM's 14x14=196
+    n = gh * gw
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+               for _ in range(3))
+    rel_pos_h = jnp.asarray(rng.normal(size=(2 * gh - 1, d)), jnp.float32)
+    rel_pos_w = jnp.asarray(rng.normal(size=(2 * gw - 1, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    scale = d ** -0.5
+    r_h = get_rel_pos(gh, gh, rel_pos_h, False)
+    r_w = get_rel_pos(gw, gw, rel_pos_w, False)
+
+    def loss_ref(q, k, v):
+        attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                      (gh, gw), (gh, gw), False)
+        out = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+        return jnp.sum(out * w)
+
+    def loss_kernel(q, k, v):
+        qg = q.reshape(b, gh, gw, d)
+        rh = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+        rw = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+        out = flash_attention_relpos(q, k, v, rh, rw, grid_size=(gh, gw),
+                                     scale=scale, block_q=n, block_k=n,
+                                     interpret=True)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_ref, g_kernel, "qkv"):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"d{name}")
+
+
 def test_fused_mha_matches_reference():
     """Masked-pair fused MHA kernel vs the reference path (interpret mode)."""
     import numpy as np

@@ -149,6 +149,60 @@ def _relpos_forward_call(qs, k, v, rh, rw, gw, block_q, block_k, interpret):
 #   d_rw[q, w] = sum_{c: kw(c)=w} dS[q, c] = dS @ wsel
 # ---------------------------------------------------------------------------
 
+def _bwd_fused_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      rh_ref, rw_ref, dq_ref, dk_ref, dv_ref, drh_ref,
+                      drw_ref, *, gw: int):
+    """Single-pass backward for window-sized N: one program per batch row
+    computes every gradient with the (N, N) score matrix VMEM-resident.
+
+    The streaming _bwd_dq/_bwd_dkv pair below amortizes at SAM-global sizes
+    (N >= 1024) but loses 2.5x at N = window² = 196 — two pallas_calls that
+    each re-read all operands and recompute p, for a score matrix that is
+    only 154 KB. Here s/p/ds are computed once and every contraction is a
+    full-size (N, N) x (N, d) MXU op."""
+    q = qs_ref[0].astype(jnp.float32)          # (n, d)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    rh = rh_ref[0].astype(jnp.float32)
+    rw = rw_ref[0].astype(jnp.float32)
+    gh = rh.shape[1]
+    n = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + _bias_tile(rh, rw, 0, n, gw, n // gw)
+    p = jnp.exp(s - lse)                       # (n, n)
+    dv = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                      # (n, n) — also d_bias
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    drh = jax.lax.dot_general(
+        ds, _h_selector(0, gh, n, gw),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    drw = jax.lax.dot_general(
+        ds, _w_selector(n, gw), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    drh_ref[0] = drh.astype(drh_ref.dtype)
+    drw_ref[0] = drw.astype(drw_ref.dtype)
+
+
 def _bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, rh_ref,
                    rw_ref, dq_ref, drh_ref, drw_ref, *, block_k: int, gw: int):
     q = q_ref[0].astype(jnp.float32)          # (bq, d)
@@ -244,6 +298,37 @@ def _relpos_backward_call(qs, k, v, rh, rw, out, lse, do, gw, block_q,
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (b, n, LANES))
+
+    if block_q == block_k == n:
+        # Window-sized N (SAM windowed blocks: N = 196): single fused pass,
+        # one program per batch row (see _bwd_fused_kernel).
+        full = pl.BlockSpec((1, n, d), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+        full_vec = pl.BlockSpec((1, n, LANES), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)
+        full_rh = pl.BlockSpec((1, n, gh), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)
+        full_rw = pl.BlockSpec((1, n, gw), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dq, dk, dv, drh, drw = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, gw=gw),
+            grid=(b,),
+            in_specs=[full, full, full, full, full_vec, full_vec, full_rh,
+                      full_rw],
+            out_specs=[full, full, full, full_rh, full_rw],
+            out_shape=[jax.ShapeDtypeStruct((b, n, d), qs.dtype),
+                       jax.ShapeDtypeStruct((b, n, d), k.dtype),
+                       jax.ShapeDtypeStruct((b, n, d), v.dtype),
+                       jax.ShapeDtypeStruct((b, n, gh), rh.dtype),
+                       jax.ShapeDtypeStruct((b, n, gw), rw.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * n * n * d,
+                bytes_accessed=9 * b * n * d * qs.dtype.itemsize,
+                transcendentals=b * n * n,
+            ),
+        )(qs, k, v, do, lse, delta, rh, rw)
+        return dq, dk, dv, drh, drw
 
     full = pl.BlockSpec((1, n, d), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
