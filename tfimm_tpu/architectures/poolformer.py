@@ -61,6 +61,8 @@ class PoolFormerBlock:
         self.embed_dim = embed_dim
         self.init_scale = init_scale
         self.dpr = drop_path_rate
+        self.mlp_ratio = mlp_ratio
+        self.fusable = norm_layer == "group_norm_1grp" and act_layer == "gelu"
 
     def init(self, rng):
         r = jax.random.split(rng, 3)
@@ -70,6 +72,22 @@ class PoolFormerBlock:
                 "layer_scale_2": jnp.full((self.embed_dim,), self.init_scale)}
 
     def __call__(self, p, x):
+        import os
+
+        from tfimm_tpu.core import is_training
+
+        # Fused whole-block kernel (inference): the early stages are pure
+        # HBM bandwidth — see ops/pallas/poolformer_block.py.
+        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and self.fusable and not is_training()):
+            from tfimm_tpu.ops.pallas.poolformer_block import (
+                poolformer_block_or_none,
+            )
+
+            out = poolformer_block_or_none(p, x, mlp_ratio=self.mlp_ratio)
+            if out is not None:
+                return out
+
         shortcut = x
         y = self.norm1(p["norm1"], x)
         y = avg_pool_2d_exclude_pad(y, 3, stride=1) - y  # token mixer

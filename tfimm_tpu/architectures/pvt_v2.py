@@ -134,9 +134,12 @@ class SpatialReductionAttentionV2:
         return p
 
     def __call__(self, p, x, grid_size):
+        import os
+
+        from tfimm_tpu.core import is_training
+
         b, n, d = x.shape
         h, hd = self.nb_heads, self.head_dim
-        q = self.q(p["q"], x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
 
         if self.sr is not None:
             kv_in = x.reshape(b, *grid_size, d)
@@ -150,6 +153,23 @@ class SpatialReductionAttentionV2:
                 kv_in = self.act(kv_in)
         else:
             kv_in = x
+
+        # Fused single-head SRA kernel (inference; see ops/pallas/pvt_sra.py
+        # and the v1 integration in pvt.py).
+        if (h == 1 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and not is_training()):
+            from tfimm_tpu.ops.pallas.pvt_sra import sra_attention_or_none
+
+            kv_flat = self.kv(p["kv"], kv_in)
+            out = sra_attention_or_none(
+                x, kv_flat[..., :d], kv_flat[..., d:],
+                p["q"]["kernel"], p["q"].get("bias"),
+                p["proj"]["kernel"], p["proj"].get("bias"),
+                scale=self.scale)
+            if out is not None:
+                return dropout(out, self.proj_drop_rate)
+
+        q = self.q(p["q"], x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         kv = self.kv(p["kv"], kv_in).reshape(b, -1, 2, h, hd)
         kv = kv.transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
