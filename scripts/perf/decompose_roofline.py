@@ -67,8 +67,8 @@ def emit_markdown(model_name, batch, measured_img_s, flops_per_img):
     total_t = sum(c * s for _, c, s, _, _, _ in ROWS)
     total_fl = sum(c * f for _, c, _, f, _, _ in ROWS)
     print("\n### markdown ###\n")
-    print(f"| op | calls | ms/call | ms total | GFLOP | TF/s | % peak | note |")
-    print(f"|---|---|---|---|---|---|---|---|")
+    print("| op | calls | ms/call | ms total | GFLOP | TF/s | % peak | note |")
+    print("|---|---|---|---|---|---|---|---|")
     for name, c, s, f, tfs, note in ROWS:
         print(f"| {name} | {c} | {s*1e3:.3f} | {c*s*1e3:.2f} | "
               f"{c*f/1e9:.1f} | {tfs:.1f} | {100*tfs*1e12/PEAK:.1f} | {note} |")

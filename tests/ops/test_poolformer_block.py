@@ -2,7 +2,6 @@
 path, plus dispatch integration through PoolFormerBlock."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

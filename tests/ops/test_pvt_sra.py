@@ -2,7 +2,6 @@
 through the real SpatialReductionAttention modules (v1 + v2)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
