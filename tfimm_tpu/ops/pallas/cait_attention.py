@@ -307,7 +307,15 @@ def _th_fwd(qkv, w_l, b_l, w_w, b_w, nb_heads, scale, interpret):
 
 def _th_bwd(nb_heads, scale, interpret, res, g):
     qkv, w_l, b_l, w_w, b_w = res
-    if b_l is None or b_w is None:
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    # The backward kernel keeps ~10 (n, dim) f32 values plus several (n, n)
+    # score matrices live per program; at cait_m36@384 (n=577, dim=768)
+    # that is ~30 MB of scoped VMEM and Mosaic refuses the stack
+    # allocation. Fall back to autodiff of the XLA twin there — the
+    # forward kernel still serves, and training correctness is identical.
+    bwd_vmem = 10 * n * dim * 4 + 4 * n * n * 4
+    if b_l is None or b_w is None or bwd_vmem > _VMEM_LIMIT_BYTES:
         _, vjp = jax.vjp(
             lambda qkv, wl, bl, ww, bw: _reference(qkv, wl, bl, ww, bw,
                                                    nb_heads, scale),
