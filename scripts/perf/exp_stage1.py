@@ -64,6 +64,7 @@ def blocks():
 
         def fused(p, x):
             os.environ["TFIMM_TPU_NO_FLASH"] = "0"
+            os.environ["TFIMM_TPU_FUSED_POOLFORMER"] = "1"
             with Context(training=False):
                 return blk(p, x)
 
@@ -96,6 +97,7 @@ def blocks():
 
         def fused(p, x):
             os.environ["TFIMM_TPU_NO_FLASH"] = "0"
+            os.environ["TFIMM_TPU_FUSED_PVT_SRA"] = "1"
             with Context(training=False):
                 return attn(p, x, (hw, hw))
 
@@ -117,6 +119,8 @@ def models():
         os.environ["TFIMM_TPU_NO_FLASH"] = "1"
         off = time_model(name, target="inference", batch_size=bs, nb_batches=5)
         os.environ["TFIMM_TPU_NO_FLASH"] = "0"
+        os.environ["TFIMM_TPU_FUSED_POOLFORMER"] = "1"
+        os.environ["TFIMM_TPU_FUSED_PVT_SRA"] = "1"
         on = time_model(name, target="inference", batch_size=bs, nb_batches=5)
         print(f"{name}: XLA {off:.1f} img/s  kernels {on:.1f} img/s "
               f"({on/off:.2f}x)", flush=True)

@@ -29,6 +29,7 @@ def test_fused_block_matches_module(monkeypatch):
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
         ref = blk(p, x)
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_FUSED_POOLFORMER", "1")
         monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
         out = blk(p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -44,6 +45,7 @@ def test_fused_block_pool_edges(monkeypatch):
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
         ref = blk(p, x)
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_FUSED_POOLFORMER", "1")
         monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
         out = blk(p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -72,6 +74,7 @@ def test_training_path_unchanged(monkeypatch):
     """Training must take the differentiable unfused path (kernel has no
     VJP); grads through the block must exist and be finite."""
     blk, p, x = _block_and_inputs()
+    monkeypatch.setenv("TFIMM_TPU_FUSED_POOLFORMER", "1")
     monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
 
     def loss(p):

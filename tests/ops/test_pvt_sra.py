@@ -20,6 +20,7 @@ def _run_both(attn_cls, monkeypatch, **kw):
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
         ref = attn(p, x, (gh, gw))
         monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+        monkeypatch.setenv("TFIMM_TPU_FUSED_PVT_SRA", "1")
         monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
         out = attn(p, x, (gh, gw))
     return np.asarray(out), np.asarray(ref)

@@ -76,9 +76,12 @@ class PoolFormerBlock:
 
         from tfimm_tpu.core import is_training
 
-        # Fused whole-block kernel (inference): the early stages are pure
-        # HBM bandwidth — see ops/pallas/poolformer_block.py.
-        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+        # Fused whole-block kernel: MEASURED NEGATIVE on v5e (0.5-0.6x vs
+        # XLA at every stage, scripts/perf/exp_stage1.py) — XLA's own fusion
+        # of the pool/norm/MLP chain plus pipelined scheduling beats the
+        # one-program-per-image kernel. Opt-in for re-measurement.
+        if (os.environ.get("TFIMM_TPU_FUSED_POOLFORMER", "0") == "1"
+                and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
                 and self.fusable and not is_training()):
             from tfimm_tpu.ops.pallas.poolformer_block import (
                 poolformer_block_or_none,

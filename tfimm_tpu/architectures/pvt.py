@@ -139,10 +139,13 @@ class SpatialReductionAttention:
         else:
             kv_in = x
 
-        # Fused single-head SRA kernel (inference): stage 1 pairs thousands
-        # of queries with ~49 reduced keys — pure HBM traffic for XLA. See
-        # ops/pallas/pvt_sra.py.
-        if (h == 1 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+        # Fused single-head SRA kernel: MEASURED NEGATIVE on v5e (0.2-0.5x
+        # vs XLA, scripts/perf/exp_stage1.py) — XLA already fuses the
+        # softmax chain and pipelines the skinny matmuls better than one
+        # program per image. Opt-in for re-measurement.
+        if (h == 1
+                and os.environ.get("TFIMM_TPU_FUSED_PVT_SRA", "0") == "1"
+                and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
                 and not is_training()):
             from tfimm_tpu.ops.pallas.pvt_sra import sra_attention_or_none
 

@@ -154,9 +154,11 @@ class SpatialReductionAttentionV2:
         else:
             kv_in = x
 
-        # Fused single-head SRA kernel (inference; see ops/pallas/pvt_sra.py
-        # and the v1 integration in pvt.py).
-        if (h == 1 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+        # Fused single-head SRA kernel: MEASURED NEGATIVE on v5e — opt-in
+        # only (see pvt.py and scripts/perf/exp_stage1.py).
+        if (h == 1
+                and os.environ.get("TFIMM_TPU_FUSED_PVT_SRA", "0") == "1"
+                and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
                 and not is_training()):
             from tfimm_tpu.ops.pallas.pvt_sra import sra_attention_or_none
 

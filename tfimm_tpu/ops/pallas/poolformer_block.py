@@ -2,6 +2,12 @@
 mixer + layer-scale residual + norm2 + conv-MLP + layer-scale residual, one
 ``pallas_call`` program per image with the whole (H, W, C) map VMEM-resident.
 
+STATUS: MEASURED NEGATIVE on v5e — 0.5-0.6x vs XLA at every stage
+(scripts/perf/exp_stage1.py, bs128 bf16 slope timing): XLA already fuses
+the pool/norm/MLP chain into few passes and overlaps HBM streaming across
+images, which the one-program-per-image kernel serializes. Kept as an
+opt-in (TFIMM_TPU_FUSED_POOLFORMER=1) measurement vehicle.
+
 Why: PoolFormer's early stages (s12 stage 1: C=64, 56x56) are pure
 HBM-bandwidth — the block is ~10 elementwise/pool passes over a 400 KB map
 plus two skinny matmuls (K=64), so XLA's fusion boundaries (pool, the two
@@ -48,7 +54,13 @@ def _pool3x3_minus_x(y):
     acc = y
     for dh, dw in [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)
                    if (a, b) != (0, 0)]:
-        s = jnp.roll(y, (dh, dw), axis=(0, 1))
+        # Per-axis rolls: Mosaic rejects a multi-axis roll when one shift
+        # component is 0 (it lowers to a 0-sized slice + concat).
+        s = y
+        if dh:
+            s = jnp.roll(s, dh, axis=0)
+        if dw:
+            s = jnp.roll(s, dw, axis=1)
         valid = ((ri >= max(dh, 0)) & (ri < h + min(dh, 0))
                  & (ci >= max(dw, 0)) & (ci < w + min(dw, 0)))
         acc = acc + jnp.where(valid, s, 0.0)

@@ -1,6 +1,12 @@
 """Fused PVT spatial-reduction attention: q-projection + (N x S) scores +
 softmax + value mix + output projection in one ``pallas_call`` per image.
 
+STATUS: MEASURED NEGATIVE on v5e — 0.2-0.5x vs XLA
+(scripts/perf/exp_stage1.py): the XLA path keeps the (N, S) scores fused
+into the softmax chain and pipelines across images, so the kernel only
+removes traffic XLA never paid. Kept as an opt-in
+(TFIMM_TPU_FUSED_PVT_SRA=1) measurement vehicle.
+
 PVT's early stages pair a huge query count with a tiny reduced key set
 (stage 1 at 224²: N = 3136 queries, S = 49 keys after the sr_ratio=8 conv,
 one head). The FLOPs are negligible — the XLA path's cost is HBM round
