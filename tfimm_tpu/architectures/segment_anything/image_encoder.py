@@ -130,9 +130,13 @@ class RelPosAttention:
         # Windowed blocks (N = window² = 196 for SAM ViT): a single
         # block_q = block_k = N program per (window, head) row. Measured
         # (scripts/perf/exp_sam_window.py, slope timing): kernel 0.225 ms vs
-        # XLA 0.315 ms forward (1.40x), but the Pallas backward — whose
-        # block structure is designed for N=4096 streams — loses 2.5x at
-        # this size, so the windowed kernel serves inference only.
+        # XLA 0.315 ms forward (1.40x). Training measured NEGATIVE twice:
+        # the round-2 streaming backward lost 2.5x at this size, and the
+        # round-3 single-pass fused backward (_bwd_fused_kernel, score
+        # matrix VMEM-resident) narrowed that to ~1.33x fwd+bwd but still
+        # loses — XLA autodiff batches 300 windows' small matmuls with
+        # better overlap than a one-program-per-row grid. The windowed
+        # kernel therefore still serves inference only.
         from tfimm_tpu.core import is_training
 
         return h * w >= 128 and not is_training()
