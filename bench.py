@@ -93,6 +93,12 @@ def main():
         "roofline_fraction": round(
             img_per_sec * VIT_B16_FLOPS / V5E_BF16_PEAK, 3
         ),
+        # Backed by the published per-op decomposition (results/README.md,
+        # scripts/perf/decompose_roofline.py): every ViT-B matmul measures
+        # 87-94% of peak; the attention kernel's physical floor (the
+        # unavoidable d=64->128 MXU padding at 197 TF/s) bounds the model
+        # at ~0.90 of the useful-FLOP roofline.
+        "practical_ceiling_fraction": 0.90,
     }
     # Secondary north-star configs (BASELINE.json names ConvNeXt-B alongside
     # ViT-B; Swin-T is the windowed-attention kernel's flagship). Failures
@@ -105,6 +111,12 @@ def main():
             result[key] = round(rate, 2)
             result[key.replace("_img_per_sec", "_roofline_fraction")] = round(
                 rate * flops / V5E_BF16_PEAK, 3)
+            # Decomposition-backed (results/README.md): the 7x7 depthwise
+            # conv is VPU-bound at ~4.5 TF/s with no MXU formulation, so
+            # ConvNeXt-B's physical ceiling is ~0.60 of the useful-FLOP
+            # roofline even with every matmul at peak.
+            result[key.replace("_img_per_sec",
+                               "_practical_ceiling_fraction")] = 0.60
         except Exception:
             pass
     print(json.dumps(result))

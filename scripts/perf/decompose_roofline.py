@@ -26,8 +26,13 @@ import numpy as np
 PEAK = 197e12  # v5e bf16 TFLOP/s
 
 
-def timeit(fn, args, n1=10, n2=60):
-    """Differential on-device timing (see docs/profiling.md)."""
+def timeit(fn, args, n1=10, n2=60, min_signal=0.4):
+    """Differential on-device timing (see docs/profiling.md) with an
+    adaptive second pass: sub-millisecond ops at the default iteration
+    counts leave only a few ms of signal against ~5-10 ms of tunnel
+    jitter (first cut of this table showed 130-290% "of peak" on the
+    skinny matmuls and a negative head time). The re-measure sizes the
+    long leg so the differential covers >= ``min_signal`` seconds."""
 
     @jax.jit
     def run(args, n):
@@ -41,13 +46,20 @@ def timeit(fn, args, n1=10, n2=60):
         np.asarray(jax.block_until_ready(run(args, n)))
         return time.perf_counter() - t0
 
+    def slope(a, b):
+        t1, t2 = t(a), t(b)
+        for _ in range(3):
+            if t2 > t1:
+                break
+            t1, t2 = t(a), t(b)
+        return (t2 - t1) / (b - a)
+
     np.asarray(jax.block_until_ready(run(args, 2)))
-    t1, t2 = t(n1), t(n2)
-    for _ in range(3):
-        if t2 > t1:
-            break
-        t1, t2 = t(n1), t(n2)
-    return (t2 - t1) / (n2 - n1)
+    est = slope(n1, n2)
+    need = int(min_signal / max(est, 1e-7))
+    if need > (n2 - n1):
+        est = slope(n1, min(n1 + need, 20000))
+    return est
 
 
 ROWS = []
