@@ -14,7 +14,6 @@ lives with one-change variants at B=128, N=197, D=768:
 Usage: python scripts/perf/exp_fused_mha4.py [variants...]
 """
 
-import functools
 import os
 import sys
 import time

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
+from tfimm_tpu.ops.pallas.dispatch import softmax_nomax, interpret_forced, on_tpu
 
 __all__ = ["talking_head_attention", "talking_head_attention_or_none"]
 
@@ -114,7 +114,7 @@ def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
                 qg, k32, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             ) + bl_ref[g:g + 1, :]
-            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            p = softmax_nomax(s).astype(v.dtype)
             vg = (v.astype(f32) * vs_ref[g:g + 1, :]).astype(v.dtype)
             acc = acc + jax.lax.dot_general(
                 p, vg, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -219,7 +219,7 @@ def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
             s = jax.lax.dot_general(
                 qg, k32, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32) + bl_ref[g:g + 1, :]
-            p = jax.nn.softmax(s, axis=-1)
+            p = softmax_nomax(s)
             # PV side
             dvg = jax.lax.dot_general(
                 p, do, dimension_numbers=(((0,), (0,)), ((), ())),

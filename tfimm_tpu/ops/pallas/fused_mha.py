@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tfimm_tpu.ops.pallas.dispatch import softmax_nomax as _softmax_nomax
+
 __all__ = ["fused_mha", "fused_mha_or_none"]
 
 # VMEM budget for one program: 4 blocks of (N, 3D|D) in the io dtype plus two
@@ -59,7 +61,7 @@ def _pair_attention(qp, kp, vp, scale):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p = jax.nn.softmax(s, axis=-1)
+        p = _softmax_nomax(s)
         o = jax.lax.dot_general(
             p.astype(vm.dtype), vm,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -123,7 +125,7 @@ def _pair_attention_bwd(qp, kp, vp, gp, scale):
         s = jax.lax.dot_general(qf, km,
                                 dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
+        p = _softmax_nomax(s)
         # dv_h = p^T @ g_h   (lanes outside head h are zero in gm)
         dv_h = jax.lax.dot_general(p, gm,
                                    dimension_numbers=(((0,), (0,)), ((), ())),

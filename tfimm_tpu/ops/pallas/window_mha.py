@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tfimm_tpu.ops.pallas.dispatch import softmax_nomax
+
 __all__ = ["window_mha", "window_mha_or_none"]
 
 _VMEM_LIMIT_BYTES = 10 * 2 ** 20
@@ -151,7 +153,7 @@ def _group_attention(qg, kg, vg, b_ref, mw, off: int, d: int, scale: float):
         s = s + b_ref[h]
         if mw is not None:
             s = s + mw
-        p = jax.nn.softmax(s, axis=-1)
+        p = softmax_nomax(s)
         vm = jnp.where(sel, vg, 0)
         o = jax.lax.dot_general(
             p.astype(vm.dtype), vm,
@@ -240,7 +242,7 @@ def _group_attention_bwd(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
         s = s + b_ref[h]
         if mw is not None:
             s = s + mw
-        p = jax.nn.softmax(s, axis=-1)
+        p = softmax_nomax(s)
         dv_h = jax.lax.dot_general(
             p, gm, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
