@@ -41,6 +41,9 @@ HEADLINE = [
     ("resnet50", 256, "inference", 47080.52, 32968.0),
     ("resnet50", 128, "backprop", 500.54, 869.97),
     ("swin_tiny_patch4_window7_224", 128, "inference", 6286.65, None),
+    ("swin_base_patch4_window7_224", 128, "inference", 474.61, 1146.36),
+    ("cait_s24_224", 128, "inference", 393.92, 945.15),
+    ("cait_s24_224", 64, "backprop", 101.02, 196.05),
     ("convnext_base", 128, "inference", None, None),
     ("efficientnet_v2_s", 64, "inference", None, None),
 ]
@@ -82,7 +85,7 @@ def main():
         # keep the SAM rows (measured separately at 1024^2, no re-run here)
         w.writerows(rows)
         w.writerow(["sam_vit_b_image_encoder_1024", "bfloat16", 1,
-                    "inference", 35.3, "", "", ""])
+                    "inference", 37.9, "", "", ""])
         w.writerow(["sam_vit_b_image_encoder_1024", "bfloat16", 1,
                     "backprop", 13.6, "", "", ""])
 
