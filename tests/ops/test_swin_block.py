@@ -132,6 +132,18 @@ def test_fused_block_c96_unshifted_padded_path(monkeypatch):
                                np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_gelu_policy_f32_matches_exact_erf():
+    """The in-kernel exact-gelu branch uses a polynomial erf (Mosaic has no
+    erf/erfc lowering) — must match jax.nn.gelu(approximate=False) to f32
+    precision."""
+    from tfimm_tpu.ops.pallas.swin_block import _gelu_policy
+
+    x = jnp.asarray(np.linspace(-8, 8, 10001), jnp.float32)
+    got = _gelu_policy(x, jnp.float32)
+    ref = jax.nn.gelu(x, approximate=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_fused_block_gradients_match_reference(monkeypatch):
     """jax.grad through the (inference) fused path must work — the custom
     VJP differentiates the pure-JAX twin — and match the unfused path."""

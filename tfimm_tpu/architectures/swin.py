@@ -241,6 +241,23 @@ class SwinTransformerBlock:
         return {"norm1": self.norm1.init(r[0]), "attn": self.attn.init(r[1]),
                 "norm2": self.norm2.init(r[2]), "mlp": self.mlp.init(r[3])}
 
+    def _rel_bias(self, p):
+        ws = self.window_size
+        return p["attn"]["relative_position_bias_table"][
+            self.attn.rel_pos_index.reshape(-1)
+        ].reshape(ws * ws, ws * ws, self.attn.nb_heads).transpose(2, 0, 1)
+
+    def padded_kernel(self, p, wins_padded):
+        """Fused kernel on the padded single-gather window layout (see
+        ops/window_gather.py; called from the stage's window-resident
+        path). Returns None when the kernel dispatcher declines."""
+        from tfimm_tpu.ops.pallas.swin_block import swin_block_padded_or_none
+
+        return swin_block_padded_or_none(
+            p, wins_padded, self._rel_bias(p), self.attn_mask,
+            nb_heads=self.attn.nb_heads, scale=self.attn.scale,
+            n_real=self.window_size ** 2)
+
     def __call__(self, p, x):
         h, w = self.input_size
         b, l, c = x.shape
@@ -262,10 +279,8 @@ class SwinTransformerBlock:
             if ss > 0:
                 xg = jnp.roll(xg, shift=(-ss, -ss), axis=(1, 2))
             wins = window_partition(xg, ws).reshape(-1, ws * ws, c)
-            bias = p["attn"]["relative_position_bias_table"][
-                self.attn.rel_pos_index.reshape(-1)
-            ].reshape(ws * ws, ws * ws, self.attn.nb_heads).transpose(2, 0, 1)
-            out = swin_block_or_none(p, wins, bias, self.attn_mask,
+            out = swin_block_or_none(p, wins, self._rel_bias(p),
+                                     self.attn_mask,
                                      nb_heads=self.attn.nb_heads,
                                      scale=self.attn.scale)
             if out is not None:
@@ -336,7 +351,77 @@ class SwinTransformerStage:
             p["downsample"] = self.downsample.init(jax.random.fold_in(rng, 999))
         return p
 
+    def _window_resident(self, p, x):
+        """Run every block fused while the activation stays in the padded
+        window layout, with ONE static gather per block boundary.
+
+        The XLA path pays roll + 6D partition transpose + pad going in and
+        the mirror chain coming out of EVERY block — several full-map HBM
+        passes of pure token permutation (~0.55 ms/block at Swin-T stage 1,
+        scripts/perf/exp_swin_budget.py). Since everything but attention is
+        per-token, each chain is one static permutation: this path enters
+        the padded window layout once, hops between consecutive blocks'
+        layouts with a single composed re-window gather
+        (ops/window_gather.py repack_indices — un-window at shift s_i +
+        re-window at shift s_{i+1} fused), and leaves once. Returns None
+        (no side effects — dead gathers are DCE'd) unless every block
+        statically qualifies for the fused kernel.
+        """
+        from tfimm_tpu.ops.pallas.swin_block import padded_block_applies
+        from tfimm_tpu.ops.window_gather import (pack_indices, padded_rows,
+                                                 repack_indices,
+                                                 unpack_indices)
+
+        b, l, c = x.shape
+        blk0 = self.blocks[0]
+        h, w = blk0.input_size
+        ws = blk0.window_size
+        if h % ws or w % ws:
+            return None
+        nb_windows = (h // ws) * (w // ws)
+        n_pad = padded_rows(ws * ws)
+        for i, blk in enumerate(self.blocks):
+            if blk.window_size != ws:
+                return None
+            has_mask = blk.attn_mask is not None
+            nb_win = nb_windows if has_mask else 1
+            hidden = p["blocks"][str(i)]["mlp"]["fc1"]["kernel"].shape[1]
+            if not padded_block_applies(b * nb_windows, n_pad, c,
+                                        blk.attn.nb_heads, nb_win, has_mask,
+                                        hidden, x.dtype):
+                return None
+
+        idx0 = jnp.asarray(pack_indices(h, w, ws, blk0.shift_size))
+        wins = jnp.take(x, idx0, axis=1, mode="fill", fill_value=0)
+        wins = wins.reshape(b * nb_windows, n_pad, c)
+        for i, blk in enumerate(self.blocks):
+            out = blk.padded_kernel(p["blocks"][str(i)], wins)
+            if out is None:  # cannot happen if the predicate is in sync
+                return None
+            flat = out.reshape(b, nb_windows * n_pad, c)
+            nxt = self.blocks[i + 1] if i + 1 < len(self.blocks) else None
+            if nxt is not None:
+                idx = jnp.asarray(repack_indices(h, w, ws, blk.shift_size,
+                                                 nxt.shift_size))
+                wins = jnp.take(flat, idx, axis=1, mode="fill", fill_value=0)
+                wins = wins.reshape(b * nb_windows, n_pad, c)
+            else:
+                idx = jnp.asarray(unpack_indices(h, w, ws, blk.shift_size))
+                return jnp.take(flat, idx, axis=1)
+        return None
+
     def __call__(self, p, x, stage_idx):
+        ctx = current_context()
+        if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and os.environ.get("TFIMM_TPU_NO_FUSED_BLOCK", "0") != "1"
+                and os.environ.get("TFIMM_TPU_SWIN_GATHER", "1") != "0"
+                and not ctx.training and not ctx.capture_features
+                and self.blocks):
+            out = self._window_resident(p, x)
+            if out is not None:
+                if self.downsample is not None:
+                    return self.downsample(p["downsample"], out)
+                return out
         for i, blk in enumerate(self.blocks):
             x = blk(p["blocks"][str(i)], x)
             capture_feature(f"stage_{stage_idx}/block_{i}", x)

@@ -53,7 +53,8 @@ from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
 from tfimm_tpu.ops.pallas.window_mha import (_MAX_UNROLL, _group_attention,
                                              _head_groups, _pack_group)
 
-__all__ = ["swin_block_fused", "swin_block_or_none"]
+__all__ = ["swin_block_fused", "swin_block_or_none",
+           "swin_block_padded_or_none", "padded_block_applies"]
 
 _VMEM_LIMIT_BYTES = 10 * 2 ** 20
 
@@ -67,10 +68,23 @@ def _layer_norm(x32, gamma, beta, eps=1e-5):
     return y * gamma + beta
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, so the exact-gelu path must build its own."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu_policy(x, out_dtype):
-    """ops/basic.py _gelu: exact erf for f32, tanh approximation for bf16."""
+    """ops/basic.py _gelu: exact erf for f32, tanh approximation for bf16.
+    The exact branch uses the polynomial erf above — jax.nn.gelu's erfc
+    formulation does not lower on Mosaic (KernelType.TC)."""
     if out_dtype == jnp.float32:
-        return jax.nn.gelu(x, approximate=False)
+        return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
     return jax.nn.gelu(x, approximate=True)
 
 
@@ -195,6 +209,70 @@ def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
     return out.reshape(bw0, n0, c)
 
 
+def _fused_gate(bw, n, c, nb_heads, nb_win, has_mask) -> bool:
+    """Shape checks shared by every fused-block entry point."""
+    if c % nb_heads:
+        return False
+    d = c // nb_heads
+    if d not in (16, 32, 64) or c < d * 2:
+        return False
+    if bw % 2 or n > 128:
+        return False
+    if bw % nb_win or (has_mask and nb_win % 2):
+        return False
+    return True
+
+
+def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
+    nb_winp = max(1, nb_win // 2)
+    wb = _pick_wb(bw // 2, nb_heads, nb_winp, has_mask)
+    itemsize = jnp.dtype(dtype).itemsize
+    rows = wb * 2 * n
+    vmem = (
+        2 * wb * 2 * n * c * itemsize          # x + out blocks
+        + rows * c * (4 * itemsize + 8)        # H1,Q,K,V + X2,A f32
+        + rows * hidden * 4                    # MLP intermediate f32
+        + (c * (3 * c + c + hidden) + hidden * c) * itemsize  # weights
+        + nb_heads * 4 * n * n * 4             # packed bias
+        + (wb * 4 * n * n * 4 if has_mask else 0)
+    )
+    return vmem <= _VMEM_LIMIT_BYTES
+
+
+def _prep_params(p, c, dt):
+    """Split the SwinTransformerBlock param dict into kernel operands."""
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"].get("bias")
+    zeros_c = jnp.zeros((1, c), jnp.float32)
+    return {
+        "wq": wqkv[:, :c], "wk": wqkv[:, c:2 * c], "wv": wqkv[:, 2 * c:],
+        "bq": bqkv[None, :c] if bqkv is not None else zeros_c,
+        "bk": bqkv[None, c:2 * c] if bqkv is not None else zeros_c,
+        "bv": bqkv[None, 2 * c:] if bqkv is not None else zeros_c,
+        "wp": p["attn"]["proj"]["kernel"].astype(dt),
+        "bp": p["attn"]["proj"]["bias"][None],
+        "w1": p["mlp"]["fc1"]["kernel"].astype(dt),
+        "b1": p["mlp"]["fc1"]["bias"][None],
+        "w2": p["mlp"]["fc2"]["kernel"].astype(dt),
+        "b2": p["mlp"]["fc2"]["bias"][None],
+        "g1": p["norm1"]["scale"][None], "be1": p["norm1"]["bias"][None],
+        "g2": p["norm2"]["scale"][None], "be2": p["norm2"]["bias"][None],
+    }
+
+
+def _pad_bias_mask(bias, mask, n0, n, nb_heads):
+    """Extend (.., n0, n0) bias/mask to n rows: pad key columns get -1e9
+    through the bias (so pad tokens never receive attention), pad query
+    rows get zeros (their output is garbage and ignored)."""
+    bias = jnp.pad(bias, ((0, 0), (0, n - n0), (0, 0)))
+    bias = jnp.concatenate(
+        [bias[:, :, :n0],
+         jnp.full((nb_heads, n, n - n0), -1e9, bias.dtype)], axis=-1)
+    if mask is not None:
+        mask = jnp.pad(mask, ((0, 0), (0, n - n0), (0, n - n0)))
+    return bias, mask
+
+
 def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
                        scale: float):
     """Dispatch the fused block kernel if it applies, else None.
@@ -209,15 +287,8 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
     if not (on_tpu() or interpret):
         return None
     bw, n, c = x_windows.shape
-    if c % nb_heads:
-        return None
-    d = c // nb_heads
-    if d not in (16, 32, 64) or c < d * 2:
-        return None
-    if bw % 2 or n > 128:
-        return None
     nb_win = mask.shape[0] if mask is not None else 1
-    if bw % nb_win or (mask is not None and nb_win % 2):
+    if not _fused_gate(bw, n, c, nb_heads, nb_win, mask is not None):
         return None
     # Sublane alignment: pair slices inside the kernel are 2n rows, and any
     # 2n % 8 != 0 forces Mosaic relayouts on every per-pair Q/K/V slice and
@@ -232,49 +303,57 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
     n = -(-n // 4) * 4
     if n != n0:
         x_windows = jnp.pad(x_windows, ((0, 0), (0, n - n0), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, n - n0), (0, n - n0)))
-        bias = jnp.concatenate(
-            [bias[:, :, :n0],
-             jnp.full((nb_heads, n, n - n0), -1e9, bias.dtype)], axis=-1)
-        if mask is not None:
-            mask = jnp.pad(mask, ((0, 0), (0, n - n0), (0, n - n0)))
+        bias, mask = _pad_bias_mask(bias, mask, n0, n, nb_heads)
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]
-    nb_winp = max(1, nb_win // 2)
-    wb = _pick_wb(bw // 2, nb_heads, nb_winp, mask is not None)
-    itemsize = jnp.dtype(x_windows.dtype).itemsize
-    rows = wb * 2 * n
-    vmem = (
-        2 * wb * 2 * n * c * itemsize          # x + out blocks
-        + rows * c * (4 * itemsize + 8)        # H1,Q,K,V + X2,A f32
-        + rows * hidden * 4                    # MLP intermediate f32
-        + (c * (3 * c + c + hidden) + hidden * c) * itemsize  # weights
-        + nb_heads * 4 * n * n * 4             # packed bias
-        + (wb * 4 * n * n * 4 if mask is not None else 0)
-    )
-    if vmem > _VMEM_LIMIT_BYTES:
+    if not _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, mask is not None,
+                    x_windows.dtype):
         return None
 
-    dt = x_windows.dtype
-    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
-    bqkv = p["attn"]["qkv"].get("bias")
-    zeros_c = jnp.zeros((1, c), jnp.float32)
-    params = {
-        "wq": wqkv[:, :c], "wk": wqkv[:, c:2 * c], "wv": wqkv[:, 2 * c:],
-        "bq": bqkv[None, :c] if bqkv is not None else zeros_c,
-        "bk": bqkv[None, c:2 * c] if bqkv is not None else zeros_c,
-        "bv": bqkv[None, 2 * c:] if bqkv is not None else zeros_c,
-        "wp": p["attn"]["proj"]["kernel"].astype(dt),
-        "bp": p["attn"]["proj"]["bias"][None],
-        "w1": p["mlp"]["fc1"]["kernel"].astype(dt),
-        "b1": p["mlp"]["fc1"]["bias"][None],
-        "w2": p["mlp"]["fc2"]["kernel"].astype(dt),
-        "b2": p["mlp"]["fc2"]["bias"][None],
-        "g1": p["norm1"]["scale"][None], "be1": p["norm1"]["bias"][None],
-        "g2": p["norm2"]["scale"][None], "be2": p["norm2"]["bias"][None],
-    }
+    params = _prep_params(p, c, x_windows.dtype)
     out = swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
                           interpret)
     return out[:, :n0, :] if n != n0 else out
+
+
+def padded_block_applies(bw, n_pad, c, nb_heads, nb_win, has_mask, hidden,
+                         dtype) -> bool:
+    """Static predicate: would swin_block_padded_or_none take the kernel?
+
+    Lets callers (the stage's window-resident path) verify EVERY block
+    qualifies before committing to the padded gather layout."""
+    if not (on_tpu() or interpret_forced()):
+        return False
+    return (_fused_gate(bw, n_pad, c, nb_heads, nb_win, has_mask)
+            and _vmem_ok(bw, n_pad, c, hidden, nb_heads, nb_win, has_mask,
+                         dtype))
+
+
+def swin_block_padded_or_none(p, x_padded, bias, mask, *, nb_heads: int,
+                              scale: float, n_real: int):
+    """Fused block on windows already in the padded gather layout.
+
+    ``x_padded``: (BW, n_pad, C) windows whose rows beyond ``n_real`` are
+    pad tokens (any finite values — they are masked out of attention via
+    the -1e9 bias columns and their outputs are ignored). ``bias``/``mask``
+    are given at the real token count and padded here. The result keeps the
+    padded layout (pad rows carry garbage), so a whole stage can stay
+    window-resident between single-gather re-windowings (see
+    ops/window_gather.py). Returns None when the kernel does not apply —
+    the caller must then fall back to the un-padded unfused path.
+    """
+    bw, n, c = x_padded.shape
+    if n != -(-n_real // 4) * 4:
+        return None
+    nb_win = mask.shape[0] if mask is not None else 1
+    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
+    if not padded_block_applies(bw, n, c, nb_heads, nb_win, mask is not None,
+                                hidden, x_padded.dtype):
+        return None
+    if n != n_real:
+        bias, mask = _pad_bias_mask(bias, mask, n_real, n, nb_heads)
+    params = _prep_params(p, c, x_padded.dtype)
+    return swin_block_diff(x_padded, params, bias, mask, nb_heads, scale,
+                           interpret_forced())
 
 
 def _reference_block(x, params, bias, mask, nb_heads, scale):
