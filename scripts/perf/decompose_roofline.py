@@ -234,6 +234,93 @@ def decompose_convnext():
     return emit_markdown("convnext_base", B, img_s, 2 * 15.36e9)
 
 
+def timeit_fb(fn, diff_args, cot, n1=10, n2=60, min_signal=0.4):
+    """Slope-time fwd+bwd of ``fn`` (vjp wrt every arg in diff_args) with a
+    fixed cotangent. Returns seconds per fwd+bwd call."""
+
+    def fb(*args):
+        _, vjp = jax.vjp(fn, *args)
+        g = vjp(cot)
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(g))
+
+    return timeit(fb, diff_args, n1=n1, n2=n2, min_signal=min_signal)
+
+
+def decompose_vit_bwd():
+    """Per-op fwd+bwd table for the ViT-B backprop row (bs64 bf16).
+
+    Reconciles the measured backprop img/s with per-op vjp timings: each row
+    is one op's forward + its VJP at the training shapes. FLOPs column uses
+    3x the forward FLOPs for matmuls (dX and dW each cost a fwd-sized
+    matmul) and 3.5x for the fused MHA (its backward recomputes scores and
+    runs five matmuls against the forward's two)."""
+    rng = np.random.default_rng(0)
+    B, N, D, H, Dh = 64, 197, 768, 12, 3072
+    d = D // H
+    L = 12
+
+    def mk(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, size=shape), jnp.bfloat16)
+
+    # patch embed: image is the leaf input, only dW is computed in the model
+    xp = mk(B * 196, 16 * 16 * 3)
+    wp = mk(16 * 16 * 3, D)
+    s = timeit_fb(lambda w: jnp.dot(xp, w), (wp,), mk(B * 196, D))
+    row("patch embed f+b (dW only)", 1, s, 2 * 2 * B * 196 * 768 * D)
+
+    from tfimm_tpu.ops.norm import LayerNorm
+
+    ln = LayerNorm(D, eps=1e-6)
+    p_ln = ln.init(jax.random.PRNGKey(0))
+    xb = mk(B, N, D)
+    s = timeit_fb(lambda p, a: ln(p, a), (p_ln, xb), mk(B, N, D))
+    row("LayerNorm(768) f+b", 2 * L, s, 0, "HBM-bound both directions")
+
+    x = mk(B * N, D)
+    w = mk(D, 3 * D)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (w, x), mk(B * N, 3 * D))
+    row("qkv matmul f+b", L, s, 3 * 2 * B * N * D * 3 * D)
+
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
+
+    qkv = mk(B, N, 3 * D)
+    out = fused_mha_or_none(qkv, nb_heads=H, scale=d ** -0.5)
+    if out is None:
+        print("fused_mha declined! (not on TPU?)")
+    else:
+        s = timeit_fb(
+            lambda q: fused_mha_or_none(q, nb_heads=H, scale=d ** -0.5),
+            (qkv,), jnp.ones_like(out))
+        attn_flops = 2 * 2 * B * H * N * N * d
+        row("fused MHA kernel f+b", L, s, 3.5 * attn_flops,
+            "Pallas custom VJP (score recompute + 5 matmuls)")
+
+    w = mk(D, D)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (w, x), mk(B * N, D))
+    row("attn proj matmul f+b", L, s, 3 * 2 * B * N * D * D)
+
+    from tfimm_tpu.ops.mlp import MLP
+
+    mlp = MLP(D, Dh)
+    p_mlp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                         mlp.init(jax.random.PRNGKey(1)))
+    s = timeit_fb(lambda p, a: mlp(p, a), (p_mlp, xb), mk(B, N, D))
+    row("MLP f+b", L, s, 3 * 2 * 2 * B * N * D * Dh)
+
+    wh = mk(D, 1000)
+    xh = mk(B, D)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (wh, xh), mk(B, 1000))
+    row("head fc(1000) f+b", 1, s, 3 * 2 * B * D * 1000)
+
+    from tfimm_tpu.utils.profile import time_model
+
+    img_s = time_model("vit_base_patch16_224", target="backprop",
+                       batch_size=B, nb_batches=5)
+    # 3x forward FLOPs is the backprop roofline convention (BASELINE.md).
+    return emit_markdown("vit_base_patch16_224 backprop", B, img_s,
+                         3 * 2 * 17.84e9)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("vit", "both"):
@@ -243,6 +330,10 @@ def main():
     if which in ("convnext", "both"):
         print("\n== ConvNeXt-B bs128 bf16 ==")
         decompose_convnext()
+        ROWS.clear()
+    if which == "vit_bwd":
+        print("== ViT-B/16 backprop bs64 bf16 ==")
+        decompose_vit_bwd()
 
 
 if __name__ == "__main__":

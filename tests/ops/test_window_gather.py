@@ -124,8 +124,63 @@ def test_window_resident_used_by_stage_call(monkeypatch):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("kind", ["pack", "unpack", "repack"])
+def test_permutation_take_vjp_is_inverse_gather(kind):
+    """The custom VJP (inverse gather) must equal the scatter-based AD of a
+    plain jnp.take for every permutation kind."""
+    from tfimm_tpu.ops.window_gather import (pack_windows, repack_windows,
+                                             unpack_windows)
+
+    h = w = 14
+    ws, c = 7, 3
+    n_rows = (h // ws) * (w // ws) * padded_rows(ws * ws)
+    rng = np.random.default_rng(5)
+    if kind == "pack":
+        fn = lambda x: pack_windows(x, h, w, ws, 3)
+        idx = pack_indices(h, w, ws, 3)
+        x = jnp.asarray(rng.normal(size=(2, h * w, c)), jnp.float32)
+    elif kind == "unpack":
+        fn = lambda x: unpack_windows(x, h, w, ws, 3)
+        idx = unpack_indices(h, w, ws, 3)
+        x = jnp.asarray(rng.normal(size=(2, n_rows, c)), jnp.float32)
+    else:
+        fn = lambda x: repack_windows(x, h, w, ws, 0, 3)
+        idx = repack_indices(h, w, ws, 0, 3)
+        x = jnp.asarray(rng.normal(size=(2, n_rows, c)), jnp.float32)
+    ref_fn = lambda x: jnp.take(x, jnp.asarray(idx), axis=1, mode="fill",
+                                fill_value=0)
+    cot = jnp.asarray(rng.normal(size=fn(x).shape), jnp.float32)
+    _, vjp = jax.vjp(fn, x)
+    _, vjp_ref = jax.vjp(ref_fn, x)
+    np.testing.assert_array_equal(np.asarray(vjp(cot)[0]),
+                                  np.asarray(vjp_ref(cot)[0]))
+
+
+def test_window_resident_gradients_match_blockwise(monkeypatch):
+    """jax.grad through the stage's gather dispatch equals grad through the
+    per-block path — by construction now (_window_resident_diff re-runs the
+    per-block composition for gradient workloads), but this guards the
+    custom_vjp plumbing end-to-end."""
+    stage, p = _stage()
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, 196, 96)),
+                    jnp.float32)
+
+    def loss(params, x):
+        with Context(training=False):
+            return (stage(params, x, 0) ** 2).mean()
+
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    g_ref = jax.grad(loss)(p, x)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    g_ker = jax.grad(loss)(p, x)
+    for a, b in zip(jax.tree.leaves(g_ker), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
 def test_window_resident_declines_on_odd_geometry():
-    """A map that does not tile into windows must return None."""
+    """A map that does not tile into windows must not qualify."""
     cfg = SwinTransformerConfig(name="t", window_size=7)
     stage = SwinTransformerStage(cfg, input_size=(12, 12), embed_dim=96,
                                  nb_blocks=1, nb_heads=3,
@@ -133,4 +188,5 @@ def test_window_resident_declines_on_odd_geometry():
     p = stage.init(jax.random.PRNGKey(0))
     x = jnp.zeros((2, 144, 96), jnp.float32)
     with Context(training=False):
-        assert stage._window_resident(p, x) is None
+        assert not stage._resident_applies(p, x)
+        assert stage._window_resident_diff(p, x) is None

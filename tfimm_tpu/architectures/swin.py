@@ -351,6 +351,34 @@ class SwinTransformerStage:
             p["downsample"] = self.downsample.init(jax.random.fold_in(rng, 999))
         return p
 
+    def _resident_applies(self, p, x):
+        """Static predicate: every block qualifies for the fused padded
+        kernel at this geometry, so :meth:`_window_resident` will succeed."""
+        from tfimm_tpu.ops.pallas.swin_block import padded_block_applies
+        from tfimm_tpu.ops.window_gather import padded_rows
+
+        if not self.blocks:
+            return False
+        b, l, c = x.shape
+        blk0 = self.blocks[0]
+        h, w = blk0.input_size
+        ws = blk0.window_size
+        if h % ws or w % ws:
+            return False
+        nb_windows = (h // ws) * (w // ws)
+        n_pad = padded_rows(ws * ws)
+        for i, blk in enumerate(self.blocks):
+            if blk.window_size != ws:
+                return False
+            has_mask = blk.attn_mask is not None
+            nb_win = nb_windows if has_mask else 1
+            hidden = p["blocks"][str(i)]["mlp"]["fc1"]["kernel"].shape[1]
+            if not padded_block_applies(b * nb_windows, n_pad, c,
+                                        blk.attn.nb_heads, nb_win, has_mask,
+                                        hidden, x.dtype):
+                return False
+        return True
+
     def _window_resident(self, p, x):
         """Run every block fused while the activation stays in the padded
         window layout, with ONE static gather per block boundary.
@@ -363,52 +391,68 @@ class SwinTransformerStage:
         the padded window layout once, hops between consecutive blocks'
         layouts with a single composed re-window gather
         (ops/window_gather.py repack_indices — un-window at shift s_i +
-        re-window at shift s_{i+1} fused), and leaves once. Returns None
-        (no side effects — dead gathers are DCE'd) unless every block
-        statically qualifies for the fused kernel.
+        re-window at shift s_{i+1} fused), and leaves once. Callers must
+        check :meth:`_resident_applies` first.
         """
-        from tfimm_tpu.ops.pallas.swin_block import padded_block_applies
-        from tfimm_tpu.ops.window_gather import (pack_indices, padded_rows,
-                                                 repack_indices,
-                                                 unpack_indices)
+        from tfimm_tpu.ops.window_gather import (pack_windows, padded_rows,
+                                                 repack_windows,
+                                                 unpack_windows)
 
         b, l, c = x.shape
         blk0 = self.blocks[0]
         h, w = blk0.input_size
         ws = blk0.window_size
-        if h % ws or w % ws:
-            return None
         nb_windows = (h // ws) * (w // ws)
         n_pad = padded_rows(ws * ws)
-        for i, blk in enumerate(self.blocks):
-            if blk.window_size != ws:
-                return None
-            has_mask = blk.attn_mask is not None
-            nb_win = nb_windows if has_mask else 1
-            hidden = p["blocks"][str(i)]["mlp"]["fc1"]["kernel"].shape[1]
-            if not padded_block_applies(b * nb_windows, n_pad, c,
-                                        blk.attn.nb_heads, nb_win, has_mask,
-                                        hidden, x.dtype):
-                return None
-
-        idx0 = jnp.asarray(pack_indices(h, w, ws, blk0.shift_size))
-        wins = jnp.take(x, idx0, axis=1, mode="fill", fill_value=0)
+        wins = pack_windows(x, h, w, ws, blk0.shift_size)
         wins = wins.reshape(b * nb_windows, n_pad, c)
         for i, blk in enumerate(self.blocks):
             out = blk.padded_kernel(p["blocks"][str(i)], wins)
-            if out is None:  # cannot happen if the predicate is in sync
-                return None
+            assert out is not None, "predicate out of sync with kernel gate"
             flat = out.reshape(b, nb_windows * n_pad, c)
             nxt = self.blocks[i + 1] if i + 1 < len(self.blocks) else None
             if nxt is not None:
-                idx = jnp.asarray(repack_indices(h, w, ws, blk.shift_size,
-                                                 nxt.shift_size))
-                wins = jnp.take(flat, idx, axis=1, mode="fill", fill_value=0)
+                wins = repack_windows(flat, h, w, ws, blk.shift_size,
+                                      nxt.shift_size)
                 wins = wins.reshape(b * nb_windows, n_pad, c)
             else:
-                idx = jnp.asarray(unpack_indices(h, w, ws, blk.shift_size))
-                return jnp.take(flat, idx, axis=1)
-        return None
+                return unpack_windows(flat, h, w, ws, blk.shift_size)
+
+    def _blocks_sequential(self, p, x):
+        """Plain per-block composition (no feature capture) — the
+        gradient-workload twin of :meth:`_window_resident`."""
+        for i, blk in enumerate(self.blocks):
+            x = blk(p["blocks"][str(i)], x)
+        return x
+
+    def _window_resident_diff(self, p, x):
+        """Window-resident stage for the primal, per-block composition for
+        gradients. Under AD the fused kernels already swap to their unfused
+        twins (swin_block_diff), so the gather path's +18% does not apply
+        there — and the boundary gathers, unlike the per-block transposes,
+        cannot fuse into the twins' elementwise ops, which measured a net
+        backprop loss (swin_tiny 1225 -> ~1163 img/s) whether the gather
+        VJP ran as an inverse gather or the structured chain. This wrapper
+        mirrors the swin_block_diff pattern one level up: grad workloads
+        re-run the per-block composition for BOTH primal and backward, so
+        backprop is exactly the per-block path while inference keeps the
+        single-gather layout."""
+        if not self._resident_applies(p, x):
+            return None
+
+        @jax.custom_vjp
+        def stage_fast(p, x):
+            return self._window_resident(p, x)
+
+        def fwd_fn(p, x):
+            primal, vjp = jax.vjp(self._blocks_sequential, p, x)
+            return primal, vjp
+
+        def bwd_fn(vjp, g):
+            return vjp(g)
+
+        stage_fast.defvjp(fwd_fn, bwd_fn)
+        return stage_fast(p, x)
 
     def __call__(self, p, x, stage_idx):
         ctx = current_context()
@@ -417,7 +461,7 @@ class SwinTransformerStage:
                 and os.environ.get("TFIMM_TPU_SWIN_GATHER", "1") != "0"
                 and not ctx.training and not ctx.capture_features
                 and self.blocks):
-            out = self._window_resident(p, x)
+            out = self._window_resident_diff(p, x)
             if out is not None:
                 if self.downsample is not None:
                     return self.downsample(p["downsample"], out)
