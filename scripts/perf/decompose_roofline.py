@@ -234,16 +234,54 @@ def decompose_convnext():
     return emit_markdown("convnext_base", B, img_s, 2 * 15.36e9)
 
 
-def timeit_fb(fn, diff_args, cot, n1=10, n2=60, min_signal=0.4):
-    """Slope-time fwd+bwd of ``fn`` (vjp wrt every arg in diff_args) with a
-    fixed cotangent. Returns seconds per fwd+bwd call."""
+def timeit_fb(fn, args, cot, n1=10, n2=60, min_signal=0.4):
+    """Slope-time fwd+bwd of ``fn`` (vjp wrt every arg) with a carried
+    cotangent. Same arg-rotation convention as ``timeit`` (args[0] is the
+    carry array, passed to ``fn`` LAST).
 
-    def fb(*args):
-        _, vjp = jax.vjp(fn, *args)
-        g = vjp(cot)
-        return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(g))
+    The naive "reuse timeit on a grad-summing wrapper" harness measures
+    GARBAGE for linear ops: their input-gradients (dX = cot @ W^T) do not
+    depend on the carried primal, so XLA hoists them out of the fori_loop
+    (first cut printed a negative patch-embed time and qkv at 237% of
+    peak). Here the COTANGENT is the carry: each iteration perturbs the
+    primal carry arg with cot's leading element (times zero — a data
+    dependency XLA cannot fold away, NaN semantics) and folds the gradient
+    sum back into the next cotangent, so every vjp matmul depends on the
+    previous iteration."""
 
-    return timeit(fb, diff_args, n1=n1, n2=n2, min_signal=min_signal)
+    @jax.jit
+    def run(state, n):
+        def body(_, c):
+            ct, rest = c[0], c[1:]
+            lead = (ct.ravel()[0] * 0).astype(rest[0].dtype)
+            _, vjp = jax.vjp(fn, *rest[1:], rest[0] + lead)
+            g = vjp(ct)
+            s = sum(jnp.sum(t.astype(jnp.float32))
+                    for t in jax.tree.leaves(g))
+            return (ct + (s * 0).astype(ct.dtype),) + rest
+        return jax.lax.fori_loop(0, n, body, state)[0].mean()
+
+    state = (cot,) + tuple(args)
+
+    def t(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.block_until_ready(run(state, n)))
+        return time.perf_counter() - t0
+
+    def slope(a, b):
+        t1, t2 = t(a), t(b)
+        for _ in range(3):
+            if t2 > t1:
+                break
+            t1, t2 = t(a), t(b)
+        return (t2 - t1) / (b - a)
+
+    np.asarray(jax.block_until_ready(run(state, 2)))
+    est = slope(n1, n2)
+    need = int(min_signal / max(est, 1e-7))
+    if need > (n2 - n1):
+        est = slope(n1, min(n1 + need, 20000))
+    return est
 
 
 def decompose_vit_bwd():
@@ -273,12 +311,12 @@ def decompose_vit_bwd():
     ln = LayerNorm(D, eps=1e-6)
     p_ln = ln.init(jax.random.PRNGKey(0))
     xb = mk(B, N, D)
-    s = timeit_fb(lambda p, a: ln(p, a), (p_ln, xb), mk(B, N, D))
+    s = timeit_fb(lambda p, a: ln(p, a), (xb, p_ln), mk(B, N, D))
     row("LayerNorm(768) f+b", 2 * L, s, 0, "HBM-bound both directions")
 
     x = mk(B * N, D)
     w = mk(D, 3 * D)
-    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (w, x), mk(B * N, 3 * D))
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (x, w), mk(B * N, 3 * D))
     row("qkv matmul f+b", L, s, 3 * 2 * B * N * D * 3 * D)
 
     from tfimm_tpu.ops.pallas.fused_mha import fused_mha_or_none
@@ -296,7 +334,7 @@ def decompose_vit_bwd():
             "Pallas custom VJP (score recompute + 5 matmuls)")
 
     w = mk(D, D)
-    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (w, x), mk(B * N, D))
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (x, w), mk(B * N, D))
     row("attn proj matmul f+b", L, s, 3 * 2 * B * N * D * D)
 
     from tfimm_tpu.ops.mlp import MLP
@@ -304,12 +342,12 @@ def decompose_vit_bwd():
     mlp = MLP(D, Dh)
     p_mlp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                          mlp.init(jax.random.PRNGKey(1)))
-    s = timeit_fb(lambda p, a: mlp(p, a), (p_mlp, xb), mk(B, N, D))
+    s = timeit_fb(lambda p, a: mlp(p, a), (xb, p_mlp), mk(B, N, D))
     row("MLP f+b", L, s, 3 * 2 * 2 * B * N * D * Dh)
 
     wh = mk(D, 1000)
     xh = mk(B, D)
-    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (wh, xh), mk(B, 1000))
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (xh, wh), mk(B, 1000))
     row("head fc(1000) f+b", 1, s, 3 * 2 * B * D * 1000)
 
     from tfimm_tpu.utils.profile import time_model

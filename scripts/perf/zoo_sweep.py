@@ -77,6 +77,83 @@ ZOO = [
     ("efficientnet_lite0", 256, 128),
     ("efficientnet_v2_s", 64, 32),
     ("efficientnet_v2_m", 32, 16),
+    # --- round-3 breadth extension (reference v100.csv has ~181 rows) ----
+    ("vit_base_patch32_224", 256, 128),
+    ("vit_base_patch8_224", 32, 16),
+    ("vit_small_patch32_224", 256, 128),
+    ("vit_large_patch32_224", 128, 64),
+    ("vit_tiny_r_s16_p8_224", 256, 128),
+    ("vit_base_patch16_sam_224", 128, 64),
+    ("deit_tiny_patch16_224", 256, 128),
+    ("deit_small_distilled_patch16_224", 256, 128),
+    ("cait_xxs36_224", 128, 64),
+    ("cait_s36_384", 16, 8),
+    ("swin_large_patch4_window7_224", 32, 16),
+    ("mixer_s16_224", 256, 128),
+    ("mixer_s32_224", 256, 128),
+    ("mixer_b32_224", 128, 64),
+    ("gmixer_24_224", 128, 64),
+    ("gmlp_ti16_224", 256, 128),
+    ("gmlp_b16_224", 64, 32),
+    ("resmlp_24_224", 128, 64),
+    ("resmlp_big_24_224", 32, 16),
+    ("convmixer_1024_20_ks9_p14", 64, 32),
+    ("poolformer_s24", 128, 64),
+    ("poolformer_s36", 128, 64),
+    ("poolformer_m48", 32, 16),
+    ("pvt_medium", 128, 64),
+    ("pvt_large", 64, 32),
+    ("pvt_v2_b1", 256, 128),
+    ("pvt_v2_b3", 128, 64),
+    ("pvt_v2_b4", 64, 32),
+    ("pvt_v2_b5", 64, 32),
+    ("pvt_v2_b2_linear", 128, 64),
+    ("pit_xs_224", 256, 128),
+    ("pit_b_224", 128, 64),
+    ("resnet26", 256, 128),
+    ("resnet34d", 256, 128),
+    ("resnet50d", 256, 128),
+    ("resnet101d", 128, 64),
+    ("resnet152d", 64, 32),
+    ("resnet200d", 64, 32),
+    ("resnet50_gn", 256, 128),
+    ("resnetblur50", 256, 128),
+    ("resnetrs50", 128, 64),
+    ("resnetrs101", 64, 32),
+    ("resnetrs152", 32, 16),
+    ("wide_resnet101_2", 64, 32),
+    ("resnext50_32x4d", 256, 128),
+    ("resnext101_32x8d", 64, 32),
+    ("seresnext50_32x4d", 256, 128),
+    ("seresnet152d", 32, 16),
+    ("ecaresnet26t", 256, 128),
+    ("ecaresnet101d", 128, 64),
+    ("ecaresnetlight", 256, 128),
+    ("resnetv2_50x3_bitm", 8, 4),
+    ("vgg11_bn", 128, 64),
+    ("vgg13", 128, 64),
+    ("vgg16_bn", 128, 64),
+    ("vgg19_bn", 128, 64),
+    ("efficientnet_b5", 24, 12),
+    ("efficientnet_b6", 16, 8),
+    ("efficientnet_b7", 8, 4),
+    ("efficientnet_es", 256, 128),
+    ("efficientnet_em", 128, 64),
+    ("efficientnet_el", 64, 32),
+    ("efficientnet_lite1", 192, 96),
+    ("efficientnet_lite2", 128, 64),
+    ("efficientnet_lite3", 96, 48),
+    ("efficientnet_lite4", 48, 24),
+    ("efficientnet_v2_b0", 256, 128),
+    ("efficientnet_v2_b1", 192, 96),
+    ("efficientnet_v2_b2", 128, 64),
+    ("efficientnet_v2_b3", 96, 48),
+    ("efficientnet_v2_l", 16, 8),
+    ("mobilenet_v2_050", 256, 128),
+    ("mobilenet_v2_100", 256, 128),
+    ("mobilenet_v2_140", 256, 128),
+    ("mobilenet_v2_110d", 256, 128),
+    ("mobilenet_v2_120d", 192, 96),
 ]
 
 

@@ -20,6 +20,9 @@ def main():
     parser.add_argument("--name-filter", default="")
     parser.add_argument("--module", default="")
     parser.add_argument("--nb-runs", type=int, default=5)
+    parser.add_argument("--zoo", action="store_true",
+                        help="restrict to the zoo_sweep.py model list "
+                             "(the set with published TPU numbers)")
     args = parser.parse_args()
 
     import jax
@@ -37,7 +40,14 @@ def main():
     write_header = not os.path.exists(args.results_file)
     os.makedirs(os.path.dirname(args.results_file) or ".", exist_ok=True)
 
-    for name in list_models(args.name_filter, module=args.module):
+    names = list_models(args.name_filter, module=args.module)
+    if args.zoo:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "perf"))
+        from zoo_sweep import ZOO
+        zoo_names = [n for n, _, _ in ZOO]
+        names = [n for n in zoo_names if n in set(names)]
+    for name in names:
         if name in done:
             continue
         try:
