@@ -254,10 +254,16 @@ def timeit_fb(fn, args, cot, n1=10, n2=60, min_signal=0.4):
         def body(_, c):
             ct, rest = c[0], c[1:]
             lead = (ct.ravel()[0] * 0).astype(rest[0].dtype)
-            _, vjp = jax.vjp(fn, *rest[1:], rest[0] + lead)
+            out, vjp = jax.vjp(fn, *rest[1:], rest[0] + lead)
             g = vjp(ct)
+            # The out.mean() term keeps the PRIMAL alive: for linear ops
+            # the backward needs only (x, w), so an unused vjp primal lets
+            # XLA elide the forward matmul (first fix of this harness
+            # measured MLP f+b at exactly 5 of its 6 matmuls).
             s = sum(jnp.sum(t.astype(jnp.float32))
                     for t in jax.tree.leaves(g))
+            s = s + sum(jnp.mean(t).astype(jnp.float32) * 0
+                        for t in jax.tree.leaves(out))
             return (ct + (s * 0).astype(ct.dtype),) + rest
         return jax.lax.fori_loop(0, n, body, state)[0].mean()
 
