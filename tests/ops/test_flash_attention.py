@@ -307,6 +307,38 @@ def test_fused_mha_vjp_matches_autodiff():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_mha_bwd_vmem_fallback(monkeypatch):
+    """When the Pallas backward would not fit VMEM (e.g. vit_base_patch8,
+    N=785 — found OOMing by the zoo sweep), the custom VJP must fall back
+    to the XLA twin's gradient while keeping the fused forward. Gradients
+    through both paths must agree."""
+    import numpy as np
+
+    from tfimm_tpu.ops.pallas import fused_mha as fm
+
+    b, n, heads, d = 2, 64, 2, 64
+    dim = heads * d
+    scale = d ** -0.5
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+
+    out_k, vjp_k = jax.vjp(lambda q: fm.fused_mha_diff(q, heads, scale, True),
+                           qkv)
+    (dqkv_k,) = vjp_k(g)
+
+    monkeypatch.setattr(fm, "_VMEM_LIMIT_BYTES", 0)  # force the fallback
+    assert not fm._bwd_kernel_fits(n, dim, 4)
+    out_f, vjp_f = jax.vjp(lambda q: fm.fused_mha_diff(q, heads, scale, True),
+                           qkv)
+    (dqkv_f,) = vjp_f(g)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_k),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv_f), np.asarray(dqkv_k),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_sam_windowed_attention_kernel_dispatch(monkeypatch):
     """SAM RelPosAttention at window scale (14x14 grid, N=196): the fused
     rel-pos kernel branch (interpret mode) matches the XLA path — covers the

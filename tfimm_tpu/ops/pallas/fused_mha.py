@@ -183,6 +183,31 @@ def _fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=False):
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+def _reference_mha(qkv, nb_heads, scale):
+    """XLA twin of fused_mha (same math incl. the clamped no-max softmax).
+    Only used to derive the backward when the Pallas backward's VMEM
+    footprint would not fit (see _fused_mha_bwd)."""
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    d = dim // nb_heads
+    q, k, v = (qkv[..., i * dim:(i + 1) * dim]
+               .reshape(b, n, nb_heads, d).transpose(0, 2, 1, 3)
+               for i in range(3))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    p = _softmax_nomax(s)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return o.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(qkv.dtype)
+
+
+def _bwd_kernel_fits(n, dim, itemsize):
+    """The backward program holds 4 input + 3 output (n, dim) blocks plus
+    four (n, n) f32 score-sized intermediates (s, p, dp, ds). The forward
+    gate alone let vit_base_patch8_224 (N=785) through and its backward
+    blew scoped VMEM by 10 MB (found by the zoo sweep)."""
+    return 7 * n * dim * itemsize + 4 * n * n * 4 <= _VMEM_LIMIT_BYTES
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def fused_mha_diff(qkv, nb_heads: int, scale: float, interpret: bool = False):
     """Differentiable fused MHA (custom VJP with a Pallas backward)."""
@@ -195,6 +220,14 @@ def _fused_mha_fwd(qkv, nb_heads, scale, interpret):
 
 def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
     (qkv,) = res
+    b, n, three_d = qkv.shape
+    if not _bwd_kernel_fits(n, three_d // 3,
+                            jnp.dtype(qkv.dtype).itemsize):
+        # Long sequences (e.g. patch8 ViT, N=785): keep the fused forward
+        # (its smaller footprint fits) and take the gradient through the
+        # XLA twin instead of the Pallas backward.
+        _, vjp = jax.vjp(lambda q: _reference_mha(q, nb_heads, scale), qkv)
+        return vjp(g)
     return (_fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=interpret),)
 
 
