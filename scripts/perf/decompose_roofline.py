@@ -365,6 +365,74 @@ def decompose_vit_bwd():
                          3 * 2 * 17.84e9)
 
 
+def decompose_cait_bwd():
+    """Per-op fwd+bwd table for the CaiT-S24 backprop row (bs64 bf16) —
+    the weakest transformer training row (0.354 roofline). Same harness
+    and FLOPs conventions as decompose_vit_bwd; the talking-head kernel is
+    credited 3.5x its useful forward FLOPs plus the two (H, H) head mixes
+    (negligible FLOPs, but they ride the score tensor)."""
+    rng = np.random.default_rng(0)
+    B, N, D, H = 64, 196, 384, 8
+    d = D // H
+    L = 24
+    scale = d ** -0.5
+
+    def mk(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, size=shape), jnp.bfloat16)
+
+    from tfimm_tpu.ops.norm import LayerNorm
+
+    ln = LayerNorm(D, eps=1e-6)
+    p_ln = ln.init(jax.random.PRNGKey(0))
+    xb = mk(B, N, D)
+    s = timeit_fb(lambda p, a: ln(p, a), (xb, p_ln), mk(B, N, D))
+    row("LayerNorm(384) f+b", 2 * L, s, 0, "HBM-bound both directions")
+
+    x = mk(B * N, D)
+    w = mk(D, 3 * D)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (x, w), mk(B * N, 3 * D))
+    row("qkv matmul f+b", L, s, 3 * 2 * B * N * D * 3 * D)
+
+    from tfimm_tpu.ops.pallas.cait_attention import \
+        talking_head_attention_or_none
+
+    qkv = mk(B, N, 3 * D)
+    wl, ww = mk(H, H), mk(H, H)
+    bl = jnp.zeros((H,), jnp.bfloat16)
+
+    def th(wl_, ww_, q):
+        return talking_head_attention_or_none(q, wl_, bl, ww_, bl,
+                                              nb_heads=H, scale=scale)
+
+    out = th(wl, ww, qkv)
+    if out is None:
+        print("talking-head kernel declined! (not on TPU?)")
+    else:
+        s = timeit_fb(th, (qkv, wl, ww), jnp.ones_like(out))
+        attn_flops = 2 * 2 * B * H * N * N * d
+        row("talking-head kernel f+b", L, s, 3.5 * attn_flops,
+            "Pallas fwd + Pallas bwd custom VJP")
+
+    w = mk(D, D)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (x, w), mk(B * N, D))
+    row("attn proj matmul f+b", L, s, 3 * 2 * B * N * D * D)
+
+    from tfimm_tpu.ops.mlp import MLP
+
+    mlp = MLP(D, 4 * D)
+    p_mlp = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                         mlp.init(jax.random.PRNGKey(1)))
+    s = timeit_fb(lambda p, a: mlp(p, a), (xb, p_mlp), mk(B, N, D))
+    row("MLP f+b", L, s, 3 * 2 * 2 * B * N * D * 4 * D)
+
+    from tfimm_tpu.utils.profile import time_model
+
+    img_s = time_model("cait_s24_224", target="backprop",
+                       batch_size=B, nb_batches=5)
+    # flops.csv MACs for cait_s24_224; x2 FLOPs, x3 backprop convention.
+    return emit_markdown("cait_s24_224 backprop", B, img_s, 3 * 2 * 9.6175e9)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("vit", "both"):
@@ -378,6 +446,10 @@ def main():
     if which == "vit_bwd":
         print("== ViT-B/16 backprop bs64 bf16 ==")
         decompose_vit_bwd()
+        ROWS.clear()
+    if which == "cait_bwd":
+        print("== CaiT-S24 backprop bs64 bf16 ==")
+        decompose_cait_bwd()
 
 
 if __name__ == "__main__":
