@@ -119,6 +119,23 @@ def main():
                                "_practical_ceiling_fraction")] = 0.60
         except Exception:
             pass
+    # ViT-B backprop @bs64 — BASELINE.md calls the backprop V100 columns the
+    # trustworthy comparison. Roofline uses 3x forward FLOPs (1:2 fwd:bwd).
+    try:
+        from tfimm_tpu.utils.profile import time_model
+
+        rate = time_model("vit_base_patch16_224", target="backprop",
+                          batch_size=64, nb_batches=3)
+        result["vit_base_backprop_img_per_sec"] = round(rate, 2)
+        result["vit_base_backprop_vs_v100_fp32"] = round(rate / 92.36, 2)
+        result["vit_base_backprop_roofline_fraction"] = round(
+            rate * 3 * VIT_B16_FLOPS / V5E_BF16_PEAK, 3)
+        # Decomposition-backed (results/README.md vit_bwd table): matmul
+        # fwd+VJP compositions measure 86-93% of peak; the MHA backward at
+        # its current structure bounds the step at ~0.73.
+        result["vit_base_backprop_practical_ceiling_fraction"] = 0.73
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

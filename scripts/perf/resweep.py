@@ -62,12 +62,13 @@ def flops_table():
 def main():
     from tfimm_tpu.utils.profile import time_model
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
     flops = flops_table()
     results_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                "results")
 
     rows = []
-    for name, bs, target, v100, v100m in HEADLINE:
+    for name, bs, target, v100, v100m in (HEADLINE if which in ("both", "headline") else []):
         rate = time_model(name, target=target, batch_size=bs, nb_batches=5)
         # Backward+update costs ~3x the forward FLOPs (standard 1:2 fwd:bwd).
         mult = 3.0 if target == "backprop" else 1.0
@@ -78,6 +79,27 @@ def main():
                      v100 or "", v100m or "",
                      round(rf, 3) if rf != "" else ""])
         print(",".join(map(str, rows[-1])), flush=True)
+    if which in ("both", "headline"):
+        _write_headline(results_dir, rows)
+
+    rows = []
+    for name, ibs, bbs in (SWEEP if which in ("both", "sweep") else []):
+        inf = time_model(name, target="inference", batch_size=ibs,
+                         nb_batches=5)
+        bp = time_model(name, target="backprop", batch_size=bbs, nb_batches=3)
+        rows.append([name, "bfloat16", ibs, bbs, round(inf, 1), round(bp, 1)])
+        print(",".join(map(str, rows[-1])), flush=True)
+    if which in ("both", "sweep"):
+        with open(os.path.join(results_dir, "v5e_sweep.csv"), "w") as f:
+            w = csv.writer(f)
+            w.writerow(["model", "dtype", "inference_batch_size",
+                        "backprop_batch_size", "inference_img_per_sec",
+                        "backprop_img_per_sec"])
+            w.writerows(rows)
+    print("done", flush=True)
+
+
+def _write_headline(results_dir, rows):
     with open(os.path.join(results_dir, "v5e_headline.csv"), "w") as f:
         w = csv.writer(f)
         w.writerow(["model", "dtype", "batch_size", "target", "img_per_sec",
@@ -88,21 +110,6 @@ def main():
                     "inference", 37.9, "", "", ""])
         w.writerow(["sam_vit_b_image_encoder_1024", "bfloat16", 1,
                     "backprop", 13.6, "", "", ""])
-
-    rows = []
-    for name, ibs, bbs in SWEEP:
-        inf = time_model(name, target="inference", batch_size=ibs,
-                         nb_batches=5)
-        bp = time_model(name, target="backprop", batch_size=bbs, nb_batches=3)
-        rows.append([name, "bfloat16", ibs, bbs, round(inf, 1), round(bp, 1)])
-        print(",".join(map(str, rows[-1])), flush=True)
-    with open(os.path.join(results_dir, "v5e_sweep.csv"), "w") as f:
-        w = csv.writer(f)
-        w.writerow(["model", "dtype", "inference_batch_size",
-                    "backprop_batch_size", "inference_img_per_sec",
-                    "backprop_img_per_sec"])
-        w.writerows(rows)
-    print("done", flush=True)
 
 
 if __name__ == "__main__":
