@@ -307,6 +307,64 @@ def test_fused_mha_vjp_matches_autodiff():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n", [197, 64])  # ragged + sublane-aligned halves
+def test_fused_mha_stacked_matches_reference(n):
+    """Sublane-stacked pair body (half the matmuls) vs the reference path."""
+    import numpy as np
+
+    from tfimm_tpu.ops.attention import _reference_attention
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha
+
+    b, heads, d = 2, 4, 64
+    dim = heads * d
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+
+    out = fused_mha(qkv, heads, d ** -0.5, interpret=True, stacked=True)
+
+    q, k, v = (qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+               for i in range(3))
+    ref, _ = _reference_attention(q, k, v, scale=d ** -0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, dim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [29, 64])  # ragged + sublane-aligned halves
+def test_fused_mha_stacked_vjp_matches_autodiff(n, monkeypatch):
+    """Stacked backward (5 matmuls vs 10) vs XLA autodiff of the reference."""
+    import numpy as np
+
+    from tfimm_tpu.ops.pallas.fused_mha import fused_mha_diff
+
+    monkeypatch.setenv("TFIMM_TPU_MHA_STACKED", "1")
+    b, heads, d = 2, 2, 64
+    dim = heads * d
+    scale = d ** -0.5
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+
+    def ref_fn(qkv):
+        q, k, v = (qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+                   for i in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(b, n, dim)
+
+    out_ref, vjp_ref = jax.vjp(ref_fn, qkv)
+    (dqkv_ref,) = vjp_ref(g)
+
+    out, vjp = jax.vjp(lambda q: fused_mha_diff(q, heads, scale, True), qkv)
+    (dqkv,) = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_mha_bwd_vmem_fallback(monkeypatch):
     """When the Pallas backward would not fit VMEM (e.g. vit_base_patch8,
     N=785 — found OOMing by the zoo sweep), the custom VJP must fall back

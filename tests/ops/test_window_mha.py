@@ -79,6 +79,56 @@ def test_window_mha_grad(bw, n, c, h, nw):
                                    atol=5e-4, rtol=5e-4, err_msg=name)
 
 
+# Shapes whose PACKED window length is a sublane multiple (52 -> g2 -> 104,
+# 32 -> g2 -> 64), so the stacked group bodies actually engage (the gate
+# falls back to the looped bodies otherwise).
+STACKED_CASES = [
+    (8, 52, 96, 3, 4),
+    (4, 32, 128, 4, 0),
+    (4, 52, 192, 6, 2),
+]
+
+
+@pytest.mark.parametrize("bw,n,c,h,nw", STACKED_CASES)
+def test_window_mha_stacked_forward(bw, n, c, h, nw, monkeypatch):
+    """Sublane-stacked group bodies (2 matmuls per lane group) vs the XLA
+    oracle."""
+    from tfimm_tpu.ops.pallas.window_mha import _stacked_enabled
+
+    monkeypatch.setenv("TFIMM_TPU_WINDOW_STACKED", "1")
+    assert _stacked_enabled(2 * n)  # the gate engages at the packed length
+    q, k, v, bias, mask = _make(bw, n, c, h, nw)
+    scale = (c // h) ** -0.5
+    ref = _reference(q, k, v, bias, mask, h, scale)
+    out = window_mha(q, k, v, bias, mask, nb_heads=h, scale=scale,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bw,n,c,h,nw", [(8, 52, 96, 3, 4), (4, 32, 128, 4, 0)])
+def test_window_mha_stacked_grad(bw, n, c, h, nw, monkeypatch):
+    """Stacked backward (5 matmuls per lane group) vs XLA autodiff, incl.
+    the bias-table gradient assembled from the stacked ds row blocks."""
+    monkeypatch.setenv("TFIMM_TPU_WINDOW_STACKED", "1")
+    q, k, v, bias, mask = _make(bw, n, c, h, nw, seed=7)
+    scale = (c // h) ** -0.5
+    w = jnp.asarray(np.random.default_rng(8).normal(size=(bw, n, c)),
+                    jnp.float32)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_reference(q, k, v, bias, mask, h, scale) * w)
+
+    def loss_kernel(q, k, v, bias):
+        return jnp.sum(window_mha_diff(q, k, v, bias, mask, h, scale, True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ker = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(g_ref, g_ker, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
 def test_swin_window_attention_integration(monkeypatch):
     """Full WindowAttention: kernel dispatch path (interpret mode) vs the XLA
     path — exercises the q/k/v weight slicing, bias gather/transpose and

@@ -32,6 +32,7 @@ tfimm/architectures/vit.py:122-172 attention math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tfimm_tpu.ops.pallas.dispatch import softmax_nomax as _softmax_nomax
 
 __all__ = ["fused_mha", "fused_mha_or_none"]
+
+
+def _stacked_default() -> bool:
+    """Opt-in for the sublane-stacked pair bodies (see _pair_attention_stacked).
+
+    Same FLOPs, half the matmul instructions per pair — candidate for the
+    per-pair MXU-pipeline serialization identified by the published roofline
+    decomposition (results/README.md). Off until measured on hardware.
+    """
+    return os.environ.get("TFIMM_TPU_MHA_STACKED", "0") == "1"
 
 # VMEM budget for one program: 4 blocks of (N, 3D|D) in the io dtype plus two
 # f32 score matrices. Keep well under the ~16 MB/core VMEM.
@@ -71,7 +82,54 @@ def _pair_attention(qp, kp, vp, scale):
     return out
 
 
-def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False):
+def _sublane_pad(n: int) -> int:
+    """Rows per stacked half: next multiple of 8 (f32 sublane tile)."""
+    return -(-n // 8) * 8
+
+
+def _stack_masked(x0, x1, n8):
+    """[x0; x1] along rows, each zero-padded to n8 rows (aligned halves)."""
+    pad = n8 - x0.shape[0]
+    if pad:
+        cfg = ((0, pad), (0, 0))
+        x0, x1 = jnp.pad(x0, cfg), jnp.pad(x1, cfg)
+    return jnp.concatenate([x0, x1], axis=0)
+
+
+def _pair_attention_stacked(qp, kp, vp, scale):
+    """Sublane-stacked form of :func:`_pair_attention` — identical math,
+    HALF the matmul instructions. The lane mask on the score contraction
+    can sit on either operand (q @ (k*m)^T == (q*m) @ k^T), so both
+    halves' scores become ONE matmul of the stacked masked queries
+    [q*m_lo; q*m_hi] against unmasked k^T, the softmax runs uniformly over
+    the stacked (2*n8, N) block, and ONE unmasked P @ v matmul yields both
+    halves' outputs — each valid on its own 64 lanes, recombined with an
+    elementwise lane select (no add, the halves own disjoint lanes).
+    Halves are zero-padded to a sublane multiple so the final row slices
+    stay aligned (pad rows contract against zeros or get sliced off).
+    """
+    n = qp.shape[0]
+    n8 = _sublane_pad(n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    m0 = lane < 64
+    qf = qp.astype(jnp.float32) * scale
+    qc = _stack_masked(jnp.where(m0, qf, 0), jnp.where(m0, 0, qf), n8)
+    s = jax.lax.dot_general(
+        qc, kp.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = _softmax_nomax(s)
+    o = jax.lax.dot_general(
+        p.astype(vp.dtype), vp,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(m0, o[:n], o[n8:n8 + n])
+
+
+def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False,
+              stacked: bool | None = None):
     """qkv: (B, N, 3*D), last dim layout (3, H, d). Returns (B, N, D)."""
     b, n, three_d = qkv.shape
     dim = three_d // 3
@@ -81,6 +139,9 @@ def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False):
                          f"d={d}, nb_heads={nb_heads}")
     n_pairs = nb_heads // 2
     grid = (b,)
+    if stacked is None:
+        stacked = _stacked_default()
+    pair_fn = _pair_attention_stacked if stacked else _pair_attention
 
     def spec(part):
         return pl.BlockSpec(
@@ -91,7 +152,7 @@ def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         for pp in range(n_pairs):
             sl = slice(pp * 128, (pp + 1) * 128)
-            o_ref[0, :, sl] = _pair_attention(
+            o_ref[0, :, sl] = pair_fn(
                 q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], scale
             ).astype(o_ref.dtype)
 
@@ -147,11 +208,60 @@ def _pair_attention_bwd(qp, kp, vp, gp, scale):
     return dq, dk, dv
 
 
-def _fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=False):
+def _pair_attention_bwd_stacked(qp, kp, vp, gp, scale):
+    """Sublane-stacked form of :func:`_pair_attention_bwd` — identical math,
+    5 matmuls instead of 10. Same identity as the stacked forward: the lane
+    masks ride the stacked operand of each contraction, so
+
+        s  = [q*m_lo; q*m_hi]*scale @ k^T          (one matmul, both halves)
+        dv = p^T-contract [g*m_lo; g*m_hi]          (stacked-row contraction)
+        dp = [g*m_lo; g*m_hi] @ v^T
+        dq = lane-select of (ds @ k)'s two halves   (mask applied post-hoc)
+        dk = ds^T-contract [q*m_lo; q*m_hi]*scale   (scale already in qc)
+
+    Pad rows are exact zeros through ds (dp's pad rows contract g-zeros),
+    so the stacked-row contractions for dk/dv need no pad masking.
+    """
+    n = qp.shape[0]
+    n8 = _sublane_pad(n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+    m0 = lane < 64
+    qf = qp.astype(jnp.float32) * scale
+    gf = gp.astype(jnp.float32)
+    qc = _stack_masked(jnp.where(m0, qf, 0), jnp.where(m0, 0, qf), n8)
+    gc = _stack_masked(jnp.where(m0, gf, 0), jnp.where(m0, 0, gf), n8)
+    kf = kp.astype(jnp.float32)
+    vf = vp.astype(jnp.float32)
+    s = jax.lax.dot_general(qc, kf,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = _softmax_nomax(s)
+    dv = jax.lax.dot_general(p, gc,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gc, vf,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_cat = scale * jax.lax.dot_general(
+        ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq = jnp.where(m0, dq_cat[:n], dq_cat[n8:n8 + n])
+    dk = jax.lax.dot_general(ds, qc,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
+def _fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=False,
+                        stacked: bool | None = None):
     """dL/dqkv for fused_mha, same packed layout as the input."""
     b, n, three_d = qkv.shape
     dim = three_d // 3
     n_pairs = nb_heads // 2
+    if stacked is None:
+        stacked = _stacked_default()
+    pair_bwd = _pair_attention_bwd_stacked if stacked else _pair_attention_bwd
 
     def spec(part):
         return pl.BlockSpec((1, n, dim), lambda i, part=part: (i, 0, part),
@@ -160,7 +270,7 @@ def _fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=False):
     def kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
         for pp in range(n_pairs):
             sl = slice(pp * 128, (pp + 1) * 128)
-            dq, dk, dv = _pair_attention_bwd(
+            dq, dk, dv = pair_bwd(
                 q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
                 g_ref[0, :, sl], scale,
             )
@@ -200,12 +310,15 @@ def _reference_mha(qkv, nb_heads, scale):
     return o.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(qkv.dtype)
 
 
-def _bwd_kernel_fits(n, dim, itemsize):
+def _bwd_kernel_fits(n, dim, itemsize, stacked=False):
     """The backward program holds 4 input + 3 output (n, dim) blocks plus
     four (n, n) f32 score-sized intermediates (s, p, dp, ds). The forward
     gate alone let vit_base_patch8_224 (N=785) through and its backward
-    blew scoped VMEM by 10 MB (found by the zoo sweep)."""
-    return 7 * n * dim * itemsize + 4 * n * n * 4 <= _VMEM_LIMIT_BYTES
+    blew scoped VMEM by 10 MB (found by the zoo sweep). The stacked pair
+    body keeps both halves' score blocks live at once (2*n8 rows), so its
+    score term doubles."""
+    score_rows = 2 * _sublane_pad(n) if stacked else n
+    return 7 * n * dim * itemsize + 4 * score_rows * n * 4 <= _VMEM_LIMIT_BYTES
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -222,7 +335,8 @@ def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
     (qkv,) = res
     b, n, three_d = qkv.shape
     if not _bwd_kernel_fits(n, three_d // 3,
-                            jnp.dtype(qkv.dtype).itemsize):
+                            jnp.dtype(qkv.dtype).itemsize,
+                            stacked=_stacked_default()):
         # Long sequences (e.g. patch8 ViT, N=785): keep the fused forward
         # (its smaller footprint fits) and take the gradient through the
         # XLA twin instead of the Pallas backward.
@@ -258,7 +372,8 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     if 2 * d != 128 or nb_heads % 2:
         return None
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    vmem = 4 * n * dim * itemsize + 2 * n * n * 4
+    score_rows = 2 * _sublane_pad(n) if _stacked_default() else n
+    vmem = 4 * n * dim * itemsize + 2 * score_rows * n * 4
     if vmem > _VMEM_LIMIT_BYTES:
         return None
     return fused_mha_diff(qkv, nb_heads, scale, interpret)

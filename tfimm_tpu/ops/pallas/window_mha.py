@@ -164,6 +164,60 @@ def _group_attention(qg, kg, vg, b_ref, mw, off: int, d: int, scale: float):
     return acc
 
 
+def _stacked_enabled(n: int) -> bool:
+    """Opt-in sublane-stacked group bodies (TFIMM_TPU_WINDOW_STACKED=1).
+
+    Stacks the J masked per-head queries of a lane group along rows so each
+    group runs 2 matmuls instead of 2J (5 vs 5J in the backward) with J-fold
+    longer M-streams — same FLOPs, unlike g-packing whose cross-window mask
+    FLOPs grow as g². Requires n % 8 == 0 (f32 sublane tile) so the per-head
+    row blocks of the stacked score/output slices stay aligned; g=2 packing
+    already provides that at Swin shapes (52 -> 104). Off until measured.
+    """
+    import os
+
+    return (os.environ.get("TFIMM_TPU_WINDOW_STACKED", "0") == "1"
+            and n % 8 == 0)
+
+
+def _group_attention_stacked(qg, kg, vg, b_ref, mw, off: int, d: int,
+                             scale: float):
+    """Sublane-stacked twin of :func:`_group_attention` — identical math,
+    2 matmuls per lane group. The lane mask of each head's score contraction
+    moves onto the query operand (q @ (k*m)^T == (q*m) @ k^T), so the J
+    masked queries stack along rows into ONE matmul against unmasked k^T;
+    the per-head biases are the contiguous (J, n, n) block of the bias ref
+    reshaped onto the stacked rows; ONE unmasked P @ v matmul yields every
+    head's output block, each valid on its own d lanes, recombined with
+    lane selects (disjoint lanes, so the accumulated sum is exact)."""
+    n, width = qg.shape
+    nheads = width // d
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    qf = qg.astype(jnp.float32) * scale
+    sels = [(lane >= j * d) & (lane < (j + 1) * d) for j in range(nheads)]
+    qc = jnp.concatenate([jnp.where(sel, qf, 0) for sel in sels], axis=0)
+    s = jax.lax.dot_general(
+        qc, kg.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h0 = off // d
+    s = s + b_ref[h0:h0 + nheads].reshape(nheads * n, n)
+    if mw is not None:
+        s = s + jnp.concatenate([mw] * nheads, axis=0)
+    p = softmax_nomax(s)
+    o = jax.lax.dot_general(
+        p.astype(vg.dtype), vg,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = None
+    for j, sel in enumerate(sels):
+        term = jnp.where(sel, o[j * n:(j + 1) * n], 0)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
                interpret: bool = False):
     """q, k, v: (BW, N, C) with BW = batch * nb_windows (window-major inner).
@@ -196,12 +250,15 @@ def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
         # is streamed per program — half the HBM traffic.
         operands.append(mask.astype(jnp.bfloat16))
 
+    group_fn = (_group_attention_stacked if _stacked_enabled(n)
+                else _group_attention)
+
     def kernel(q_ref, k_ref, v_ref, b_ref, *rest):
         m_ref, o_ref = (rest if mask is not None else (None,) + rest)
         for w in range(wb):
             mw = m_ref[w] if m_ref is not None else None
             for off, width in _head_groups(c, d):
-                out = _group_attention(
+                out = group_fn(
                     q_ref[w, :, off:off + width],
                     k_ref[w, :, off:off + width],
                     v_ref[w, :, off:off + width],
@@ -263,6 +320,52 @@ def _group_attention_bwd(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
     return dq, dk, dv, ds_heads
 
 
+def _group_attention_bwd_stacked(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
+                                 scale: float):
+    """Sublane-stacked twin of :func:`_group_attention_bwd` — 5 matmuls per
+    lane group instead of 5J (same identities as the stacked forward; the
+    stacked-row contractions for dk/dv sum the per-head terms directly,
+    which is exact because each head's term lives on its own d lanes)."""
+    n, width = qg.shape
+    nheads = width // d
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    qf = qg.astype(jnp.float32) * scale
+    gf = gg.astype(jnp.float32)
+    kf = kg.astype(jnp.float32)
+    vf = vg.astype(jnp.float32)
+    sels = [(lane >= j * d) & (lane < (j + 1) * d) for j in range(nheads)]
+    qc = jnp.concatenate([jnp.where(sel, qf, 0) for sel in sels], axis=0)
+    gc = jnp.concatenate([jnp.where(sel, gf, 0) for sel in sels], axis=0)
+    s = jax.lax.dot_general(qc, kf,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h0 = off // d
+    s = s + b_ref[h0:h0 + nheads].reshape(nheads * n, n)
+    if mw is not None:
+        s = s + jnp.concatenate([mw] * nheads, axis=0)
+    p = softmax_nomax(s)
+    dv = jax.lax.dot_general(p, gc,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(gc, vf,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_cat = scale * jax.lax.dot_general(
+        ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, qc,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq = None
+    ds_heads = []
+    for j, sel in enumerate(sels):
+        term = jnp.where(sel, dq_cat[j * n:(j + 1) * n], 0)
+        dq = term if dq is None else dq + term
+        ds_heads.append((h0 + j, ds[j * n:(j + 1) * n]))
+    return dq, dk, dv, ds_heads
+
+
 def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
                          interpret=False):
     bw0, n0, c = q.shape
@@ -306,10 +409,12 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
         def _():
             db_ref[...] = jnp.zeros_like(db_ref)
 
+        group_bwd = (_group_attention_bwd_stacked if _stacked_enabled(n)
+                     else _group_attention_bwd)
         for w in range(wb):
             mw = m_ref[w] if m_ref is not None else None
             for off, width in _head_groups(c, d):
-                dq, dk, dv, ds_heads = _group_attention_bwd(
+                dq, dk, dv, ds_heads = group_bwd(
                     q_ref[w, :, off:off + width],
                     k_ref[w, :, off:off + width],
                     v_ref[w, :, off:off + width],
@@ -415,6 +520,10 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     itemsize = jnp.dtype(q.dtype).itemsize
     vmem = (4 * wb * n * c * itemsize + nb_heads * n * n * 4
             + (wb * n * n * 4 if mask is not None else 0))
+    if _stacked_enabled(n):
+        # Stacked group bodies keep J = min(128, C)//d score-sized blocks
+        # (s/p/dp/ds in the backward) live at once instead of one.
+        vmem += 4 * (min(128, c) // d) * n * n * 4
     if vmem > _VMEM_LIMIT_BYTES:
         return None
     out = window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret)
