@@ -106,6 +106,68 @@ def test_vjp_matches_twin_autodiff(monkeypatch):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("chunk", ["1", "2", "4"])
+def test_stacked_forward_matches_twin(monkeypatch, chunk):
+    """Sublane-stacked body (all chunk sizes) equals the XLA twin; n=52
+    exercises the zero-row padding to the 8-sublane tile (np_=56)."""
+    from tfimm_tpu.ops.pallas.cait_attention import (_reference,
+                                                     talking_head_attention)
+
+    monkeypatch.setenv("TFIMM_TPU_CAIT_STACKED", "1")
+    monkeypatch.setenv("TFIMM_TPU_CAIT_STACK_CHUNK", chunk)
+    qkv, wl, bl, ww, bw, h, scale = _inputs(seed=7)
+    out = talking_head_attention(qkv, wl, bl, ww, bw, nb_heads=h,
+                                 scale=scale, interpret=True)
+    ref = _reference(qkv, wl, bl, ww, bw, h, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("chunk", ["1", "4"])
+def test_stacked_vjp_matches_twin_autodiff(monkeypatch, chunk):
+    """Stacked backward (dqkv and both mix-matrix grads) equals autodiff of
+    the unfused path, including the PV-recompute dww identity."""
+    from tfimm_tpu.ops.pallas.cait_attention import (_reference,
+                                                     talking_head_diff)
+
+    monkeypatch.setenv("TFIMM_TPU_CAIT_STACKED", "1")
+    monkeypatch.setenv("TFIMM_TPU_CAIT_STACK_CHUNK", chunk)
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    qkv, wl, bl, ww, bw, h, scale = _inputs(seed=11)
+
+    def loss_kernel(qkv, wl, bl, ww, bw):
+        return jnp.sum(
+            talking_head_diff(qkv, wl, bl, ww, bw, h, scale, True) ** 2)
+
+    def loss_ref(qkv, wl, bl, ww, bw):
+        return jnp.sum(_reference(qkv, wl, bl, ww, bw, h, scale) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(qkv, wl, bl, ww, bw)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(qkv, wl, bl, ww, bw)
+    # b_l's true gradient is zero by softmax shift invariance; the kernel
+    # returns exact zeros while reference autodiff carries f32 noise (~3e-4
+    # at this seed) — compare it against zero at the noise level instead.
+    np.testing.assert_allclose(np.asarray(g1[2]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2[2]), 0.0, atol=1e-3)
+    for a, b in zip(g1[:2] + g1[3:], g2[:2] + g2[3:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_stacked_aligned_rows_no_padding(monkeypatch):
+    """n % 8 == 0 skips the padding concat entirely — parity must hold."""
+    from tfimm_tpu.ops.pallas.cait_attention import (_reference,
+                                                     talking_head_attention)
+
+    monkeypatch.setenv("TFIMM_TPU_CAIT_STACKED", "1")
+    qkv, wl, bl, ww, bw, h, scale = _inputs(seed=13, n=64)
+    out = talking_head_attention(qkv, wl, bl, ww, bw, nb_heads=h,
+                                 scale=scale, interpret=True)
+    ref = _reference(qkv, wl, bl, ww, bw, h, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_dispatch_declines_off_tpu(monkeypatch):
     from tfimm_tpu.ops.pallas.cait_attention import (
         talking_head_attention_or_none,

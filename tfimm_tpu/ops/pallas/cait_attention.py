@@ -40,6 +40,7 @@ shift invariance and is returned as exact zeros.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,36 @@ from tfimm_tpu.ops.pallas.dispatch import softmax_nomax, interpret_forced, on_tp
 __all__ = ["talking_head_attention", "talking_head_attention_or_none"]
 
 _VMEM_LIMIT_BYTES = 10 * 2 ** 20
+
+
+def _stacked_default() -> bool:
+    """Opt-in sublane-stacked head bodies (TFIMM_TPU_CAIT_STACKED=1).
+
+    The published CaiT-S24 backprop decomposition (results/README.md) puts
+    the talking-head kernel f+b at 59% of the whole step budget with every
+    matmul at 79-91% of peak — the kernel's per-head loop of small-M
+    matmuls is the lever. Stacking a chunk of heads' lane-scaled queries
+    along sublanes turns the loop into 2 matmuls per chunk forward and 6
+    backward (vs 2/5 PER HEAD), same useful FLOPs (+ one PV-recompute
+    matmul in the backward for the dww reduction). Off until TPU-measured.
+    """
+    return os.environ.get("TFIMM_TPU_CAIT_STACKED", "0") == "1"
+
+
+def _sublane_pad(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _pick_chunk(h, per_block_bytes, persistent_bytes):
+    """Largest head-chunk (divisor of H) whose stacked working set fits."""
+    forced = os.environ.get("TFIMM_TPU_CAIT_STACK_CHUNK")
+    if forced:
+        return min(int(forced), h)
+    for ch in (8, 4, 2, 1):
+        if h % ch == 0 and persistent_bytes + ch * per_block_bytes \
+                <= _VMEM_LIMIT_BYTES:
+            return ch
+    return 1
 
 
 def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
@@ -122,8 +153,46 @@ def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
             )
         o_ref[0] = acc.astype(o_ref.dtype)
 
+    np_ = _sublane_pad(n)
+    # Stacked working set per chunk-head: qc + o (N', D) f32 and s + p
+    # (N', N) f32; persistent: qkv blocks, f32 accumulator, output.
+    chunk = _pick_chunk(
+        h, np_ * (2 * dim + 2 * n) * 4,
+        3 * n * dim * jnp.dtype(qkv.dtype).itemsize + 2 * n * dim * 4)
+
+    def kernel_stacked(q_ref, k_ref, v_ref, qs_ref, vs_ref, bl_ref, bw_ref,
+                       o_ref):
+        q32 = q_ref[0].astype(f32)
+        k32 = k_ref[0].astype(f32)
+        v = v_ref[0]
+        vsum = jnp.sum(v.astype(f32), axis=0, keepdims=True)    # (1, D)
+        acc = jnp.broadcast_to(bw_ref[0:1, :] * vsum, (n, dim))
+        # Zero-pad the query rows to the sublane tile so per-head blocks of
+        # the stacked score/output matrices start 8-aligned; the padded
+        # rows' outputs are never read back.
+        qpad = (q32 if np_ == n else jnp.concatenate(
+            [q32, jnp.zeros((np_ - n, dim), f32)], axis=0))
+        for c0 in range(0, h, chunk):
+            gs = list(range(c0, min(c0 + chunk, h)))
+            qc = jnp.concatenate(
+                [qpad * qs_ref[g:g + 1, :] for g in gs], axis=0)
+            s = jax.lax.dot_general(
+                qc, k32, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) + jnp.concatenate(
+                [jnp.broadcast_to(bl_ref[g:g + 1, :], (np_, n)) for g in gs],
+                axis=0)
+            p = softmax_nomax(s).astype(v.dtype)
+            o = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            for i, g in enumerate(gs):
+                acc = acc + vs_ref[g:g + 1, :] * o[i * np_:i * np_ + n]
+        o_ref[0] = acc.astype(o_ref.dtype)
+
     return pl.pallas_call(
-        kernel,
+        kernel_stacked if _stacked_default() else kernel,
         grid=(b,),
         in_specs=[spec(0), spec(1), spec(2),
                   full((h, dim)), full((h, dim)), full((h, n)),
@@ -257,8 +326,98 @@ def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
         dl_ref[0] = jnp.concatenate(dl_rows, axis=0)
         dw_ref[0] = jnp.concatenate(dw_rows, axis=0)
 
+    np_ = _sublane_pad(n)
+    # Stacked chunk working set: qc/doc/t/o (N', D) f32 + s/p/dp/ds (N', N)
+    # f32 per chunk-head; persistent: four f32 input views, three f32
+    # accumulators, the packed dqkv output.
+    chunk = _pick_chunk(h, np_ * (4 * dim + 4 * n) * 4, 10 * n * dim * 4)
+
+    def kernel_stacked(q_ref, k_ref, v_ref, g_ref, qs_ref, vs_ref, bl_ref,
+                       bw_ref, oh_ref, dqkv_ref, dl_ref, dw_ref):
+        q32 = q_ref[0].astype(f32)
+        k32 = k_ref[0].astype(f32)
+        v32 = v_ref[0].astype(f32)
+        do = g_ref[0].astype(f32)
+        oh = oh_ref[...]
+        vsum = jnp.sum(v32, axis=0, keepdims=True)              # (1, D)
+        docol = jnp.sum(do, axis=0, keepdims=True)              # (1, D)
+        qsc = q32 * scale
+
+        dv = jnp.broadcast_to(bw_ref[0:1, :] * docol, (n, dim))
+        dbw_row = jax.lax.dot_general(
+            docol * vsum, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                          # (1, H)
+        dq = jnp.zeros((n, dim), f32)
+        dk = jnp.zeros((n, dim), f32)
+        # Zero rows in the padded q/dout make every padded-row contribution
+        # vanish exactly: ds rows are p*(0-0)=0, and the dk/dv stacked-row
+        # contractions multiply p's (uniform, nonzero) padded rows by
+        # doc's zero rows.
+        qpad = (q32 if np_ == n else jnp.concatenate(
+            [q32, jnp.zeros((np_ - n, dim), f32)], axis=0))
+        dopad = (do if np_ == n else jnp.concatenate(
+            [do, jnp.zeros((np_ - n, dim), f32)], axis=0))
+        dl_rows = [None] * h
+        dw_rows = [None] * h
+        for c0 in range(0, h, chunk):
+            gs = list(range(c0, min(c0 + chunk, h)))
+            qc = jnp.concatenate(
+                [qpad * qs_ref[g:g + 1, :] for g in gs], axis=0)
+            doc = jnp.concatenate(
+                [dopad * vs_ref[g:g + 1, :] for g in gs], axis=0)
+            s = jax.lax.dot_general(
+                qc, k32, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) + jnp.concatenate(
+                [jnp.broadcast_to(bl_ref[g:g + 1, :], (np_, n)) for g in gs],
+                axis=0)
+            p = softmax_nomax(s)
+            dp = jax.lax.dot_general(
+                doc, v32, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                      # (N', N)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            t = jax.lax.dot_general(
+                ds, k32, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (N', D)
+            dk = dk + jax.lax.dot_general(
+                ds, qc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dv = dv + jax.lax.dot_general(
+                p, doc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            # PV recompute feeds the dww reduction: sum_k dvg*v collapses to
+            # sum_i do*(p@v) — one matmul for the whole chunk instead of a
+            # per-head (N, N) @ (N, D).
+            o = jax.lax.dot_general(
+                p, v32, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (N', D)
+            for i, g in enumerate(gs):
+                tg = t[i * np_:i * np_ + n]
+                dq = dq + qs_ref[g:g + 1, :] * tg
+                dwl_g = jax.lax.dot_general(
+                    jnp.sum(qsc * tg, axis=0, keepdims=True), oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)                  # (1, H)
+                dww_g = jax.lax.dot_general(
+                    jnp.sum(do * o[i * np_:i * np_ + n], axis=0,
+                            keepdims=True), oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)                  # (1, H)
+                dl_rows[g] = jnp.concatenate(
+                    [dwl_g, jnp.zeros((1, 1), f32)], axis=1)
+                dw_rows[g] = jnp.concatenate(
+                    [dww_g, jnp.zeros((1, 1), f32)], axis=1)
+        dl_rows.append(jnp.zeros((1, h + 1), f32))
+        dw_rows.append(
+            jnp.concatenate([dbw_row, jnp.zeros((1, 1), f32)], axis=1))
+        dqkv_ref[0, :, 0:dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, dim:2 * dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * dim:] = dv.astype(dqkv_ref.dtype)
+        dl_ref[0] = jnp.concatenate(dl_rows, axis=0)
+        dw_ref[0] = jnp.concatenate(dw_rows, axis=0)
+
     dqkv, dl, dw = pl.pallas_call(
-        kernel,
+        kernel_stacked if _stacked_default() else kernel,
         grid=(b,),
         in_specs=[spec(0), spec(1), spec(2),
                   pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
