@@ -1,0 +1,106 @@
+"""Measure the sublane-stacked attention-kernel bodies on TPU.
+
+Three opt-in variants (all interpret-tested, off by default until this
+experiment decides them):
+
+  TFIMM_TPU_MHA_STACKED=1     fused_mha pair bodies    -> vit_base
+  TFIMM_TPU_WINDOW_STACKED=1  window_mha group bodies  -> swin_tiny
+  TFIMM_TPU_CAIT_STACKED=1    cait head-chunk bodies   -> cait_s24
+
+Each (model, target, stacked on/off) cell is slope-timed in its OWN
+subprocess — the env vars are read at kernel trace time, and a fresh
+process guarantees no stale jit cache crosses configs. Rows append to
+results/stacked_experiment.csv; completed rows are skipped on rerun
+(tunnel-flake resumable). Remote Pallas compiles cost ~8 min per new
+variant: the full matrix is ~12 cells, budget ~1.5-2h.
+
+Usage:
+  python scripts/perf/exp_stacked.py            # run all remaining cells
+  python scripts/perf/exp_stacked.py --cell vit_base_patch16_224:backprop:1
+"""
+
+import csv
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+OUT = os.path.join(ROOT, "results", "stacked_experiment.csv")
+
+CELLS = [
+    # (model, env var, batch sizes per target)
+    ("vit_base_patch16_224", "TFIMM_TPU_MHA_STACKED",
+     {"inference": 128, "backprop": 64}),
+    ("swin_tiny_patch4_window7_224", "TFIMM_TPU_WINDOW_STACKED",
+     {"inference": 128, "backprop": 64}),
+    ("cait_s24_224", "TFIMM_TPU_CAIT_STACKED",
+     {"inference": 128, "backprop": 64}),
+]
+
+WORKER = r"""
+import sys
+sys.path.insert(0, {root!r})
+from tfimm_tpu.utils.profile import time_model
+rate = time_model({model!r}, target={target!r}, batch_size={bs}, nb_batches=5)
+print("RESULT", rate)
+"""
+
+
+def done_cells():
+    if not os.path.exists(OUT):
+        return set()
+    with open(OUT) as f:
+        return {(r["model"], r["target"], r["stacked"])
+                for r in csv.DictReader(f)}
+
+
+def run_cell(model, env_var, target, bs, stacked):
+    env = dict(os.environ)
+    env[env_var] = "1" if stacked else "0"
+    code = WORKER.format(root=ROOT, model=model, target=target, bs=bs)
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=1800)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+    return None
+
+
+def main():
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--cell":
+        only = tuple(sys.argv[2].split(":"))
+    done = done_cells()
+    new_file = not os.path.exists(OUT)
+    with open(OUT, "a", newline="") as f:
+        w = csv.writer(f)
+        if new_file:
+            w.writerow(["model", "target", "stacked", "batch_size",
+                        "img_per_sec"])
+        for model, env_var, targets in CELLS:
+            for target, bs in targets.items():
+                for stacked in ("1", "0"):
+                    if only and (model, target, stacked) != only:
+                        continue
+                    if (model, target, stacked) in done:
+                        print(f"skip {model} {target} stacked={stacked}")
+                        continue
+                    print(f"run  {model} {target} stacked={stacked} ...",
+                          flush=True)
+                    try:
+                        rate = run_cell(model, env_var, target, bs,
+                                        stacked == "1")
+                    except subprocess.TimeoutExpired:
+                        print("  TIMEOUT", flush=True)
+                        continue
+                    if rate is None:
+                        print("  FAILED", flush=True)
+                        continue
+                    w.writerow([model, target, stacked, bs, round(rate, 1)])
+                    f.flush()
+                    print(f"  {rate:.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

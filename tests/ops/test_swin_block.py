@@ -57,6 +57,38 @@ def test_fused_block_matches_unfused(monkeypatch, shift, c, heads):
                                np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("shift,c,heads", [(0, 192, 6), (3, 96, 3)])
+def test_fused_block_stacked_matches_unfused(monkeypatch, shift, c, heads):
+    """TFIMM_TPU_WINDOW_STACKED=1 swaps the sublane-stacked group body into
+    the fused block kernel (pair rows 2*52=104 are 8-aligned)."""
+    monkeypatch.setenv("TFIMM_TPU_WINDOW_STACKED", "1")
+    blk, p = _block(shift, c=c, heads=heads)
+    hw, ws, ss = 14, blk.window_size, blk.shift_size
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, hw * hw, c)),
+                    jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "1")
+    with Context(training=False):
+        ref = blk(p, x)
+
+    xg = x.reshape(2, hw, hw, c)
+    if ss:
+        xg = jnp.roll(xg, (-ss, -ss), axis=(1, 2))
+    wins = window_partition(xg, ws).reshape(-1, ws * ws, c)
+    bias = p["attn"]["relative_position_bias_table"][
+        blk.attn.rel_pos_index.reshape(-1)
+    ].reshape(ws * ws, ws * ws, heads).transpose(2, 0, 1)
+    monkeypatch.setenv("TFIMM_TPU_NO_FLASH", "0")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    out = swin_block_or_none(p, wins, bias, blk.attn_mask, nb_heads=heads,
+                             scale=blk.attn.scale)
+    assert out is not None
+    o = window_reverse(out.reshape(-1, ws, ws, c), ws, hw, hw)
+    if ss:
+        o = jnp.roll(o, (ss, ss), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(o.reshape(2, hw * hw, c)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_fused_block_dispatch_in_model_call(monkeypatch):
     """SwinTransformerBlock.__call__ takes the fused path end to end."""
     blk, p = _block(shift=3)

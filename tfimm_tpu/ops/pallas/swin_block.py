@@ -51,7 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
 from tfimm_tpu.ops.pallas.window_mha import (_MAX_UNROLL, _group_attention,
-                                             _head_groups, _pack_group)
+                                             _group_attention_stacked,
+                                             _head_groups, _pack_group,
+                                             _stacked_enabled)
 
 __all__ = ["swin_block_fused", "swin_block_or_none",
            "swin_block_padded_or_none", "padded_block_applies"]
@@ -166,16 +168,19 @@ def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
 
         # Attention per window pair x lane group (window_mha's masked-head
         # trick: full-lane contraction, per-head lane masks, bias + mask on
-        # the f32 scores in VMEM).
+        # the f32 scores in VMEM). TFIMM_TPU_WINDOW_STACKED=1 swaps in the
+        # sublane-stacked group body (n2 = 2*52 is 8-aligned at Swin shapes).
+        group_fn = (_group_attention_stacked if _stacked_enabled(n2)
+                    else _group_attention)
         row_blocks = []
         for w in range(wb):
             rows = slice(w * n2, (w + 1) * n2)
             mw = m_ref[w] if m_ref is not None else None
             parts = [
-                _group_attention(Q[rows, off:off + width],
-                                 K[rows, off:off + width],
-                                 V[rows, off:off + width],
-                                 b_ref, mw, off, d, scale)
+                group_fn(Q[rows, off:off + width],
+                         K[rows, off:off + width],
+                         V[rows, off:off + width],
+                         b_ref, mw, off, d, scale)
                 for off, width in _head_groups(c, d)
             ]
             row_blocks.append(
@@ -236,6 +241,10 @@ def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
         + nb_heads * 4 * n * n * 4             # packed bias
         + (wb * 4 * n * n * 4 if has_mask else 0)
     )
+    if _stacked_enabled(2 * n):
+        # Stacked group bodies keep J = min(128, C)//d score-sized blocks
+        # (s/p) live at once instead of one (d = lane-group head width).
+        vmem += 2 * (min(128, c) // (c // nb_heads)) * 4 * n * n * 4
     return vmem <= _VMEM_LIMIT_BYTES
 
 
