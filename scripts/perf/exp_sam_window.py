@@ -157,6 +157,41 @@ def sam_encoder_total():
           flush=True)
 
 
+def sam_encoder_bwd():
+    """Encoder fine-tune step (grad wrt params): the global blocks take the
+    relpos kernel's Pallas backward, so TFIMM_TPU_RELPOS_PAIRED affects
+    this path directly (windowed blocks stay on XLA in training)."""
+    import tfimm_tpu.architectures.segment_anything  # noqa: F401 (registers)
+    from tfimm_tpu import create_model
+    from tfimm_tpu.core import Context
+
+    model = create_model("sam_vit_b", dtype=jnp.bfloat16)
+    enc = model.image_encoder
+    p = jax.device_put(jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, model.params["image_encoder"]))
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, size=(1, 1024, 1024, 3)), jnp.bfloat16)
+
+    def loss(p, xx):
+        with Context(training=True):
+            return enc(p, xx).astype(jnp.float32).mean()
+
+    grad = jax.grad(loss)
+
+    def step(args):
+        if args is None:
+            args = (x, p)
+        xx, pp = args
+        g = grad(pp, xx)
+        leaf = jax.tree.leaves(g)[0]
+        return (xx + (leaf.mean() * 0).astype(xx.dtype), pp)
+
+    s = slope(step, n1=2, n2=8)
+    print(f"sam encoder bwd total: {s*1e3:.1f} ms/img ({1/s:.1f} img/s)",
+          flush=True)
+
+
 def swin_stage_probe():
     from tfimm_tpu.architectures.swin import (SwinTransformerBlock,
                                               SwinTransformerConfig)
@@ -237,6 +272,8 @@ if __name__ == "__main__":
         sam_window_attention()
     if "encoder" in which:
         sam_encoder_total()
+    if "encoder_bwd" in which:
+        sam_encoder_bwd()
     if "pack" in which:
         swin_pack_compare()
     if "swin" in which:

@@ -6,6 +6,7 @@ experiment decides them):
   TFIMM_TPU_MHA_STACKED=1     fused_mha pair bodies    -> vit_base
   TFIMM_TPU_WINDOW_STACKED=1  window_mha group bodies  -> swin_tiny
   TFIMM_TPU_CAIT_STACKED=1    cait head-chunk bodies   -> cait_s24
+  TFIMM_TPU_RELPOS_PAIRED=1   relpos head-pair packing -> sam_vit_b encoder
 
 Each (model, target, stacked on/off) cell is slope-timed in its OWN
 subprocess — the env vars are read at kernel trace time, and a fresh
@@ -54,6 +55,13 @@ def done_cells():
                 for r in csv.DictReader(f)}
 
 
+SAM_CELLS = [
+    # (label, exp_sam_window.py mode, marker in its output)
+    ("sam_vit_b_image_encoder_1024", "encoder", "fwd total"),
+    ("sam_vit_b_image_encoder_1024", "encoder_bwd", "bwd total"),
+]
+
+
 def run_cell(model, env_var, target, bs, stacked):
     env = dict(os.environ)
     env[env_var] = "1" if stacked else "0"
@@ -63,6 +71,20 @@ def run_cell(model, env_var, target, bs, stacked):
     for line in p.stdout.splitlines():
         if line.startswith("RESULT"):
             return float(line.split()[1])
+    sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+    return None
+
+
+def run_sam_cell(mode, marker, paired):
+    env = dict(os.environ)
+    env["TFIMM_TPU_RELPOS_PAIRED"] = "1" if paired else "0"
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "perf",
+                                      "exp_sam_window.py"), mode],
+        env=env, capture_output=True, text=True, timeout=2400)
+    for line in p.stdout.splitlines():
+        if marker in line and "img/s" in line:
+            return float(line.rsplit("(", 1)[1].split()[0])
     sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
     return None
 
@@ -100,6 +122,27 @@ def main():
                     w.writerow([model, target, stacked, bs, round(rate, 1)])
                     f.flush()
                     print(f"  {rate:.1f} img/s", flush=True)
+        for label, mode, marker in SAM_CELLS:
+            target = "inference" if mode == "encoder" else "backprop"
+            for paired in ("1", "0"):
+                if only and (label, target, paired) != only:
+                    continue
+                if (label, target, paired) in done:
+                    print(f"skip {label} {target} paired={paired}")
+                    continue
+                print(f"run  {label} {target} paired={paired} ...",
+                      flush=True)
+                try:
+                    rate = run_sam_cell(mode, marker, paired == "1")
+                except subprocess.TimeoutExpired:
+                    print("  TIMEOUT", flush=True)
+                    continue
+                if rate is None:
+                    print("  FAILED", flush=True)
+                    continue
+                w.writerow([label, target, paired, 1, round(rate, 1)])
+                f.flush()
+                print(f"  {rate:.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -229,6 +229,126 @@ def test_flash_relpos_window_sized_backward():
                                    rtol=2e-4, err_msg=f"d{name}")
 
 
+def _relpos_case(seed, gh, gw, d, b=2):
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        get_rel_pos,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = gh * gw
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+               for _ in range(3))
+    rel_pos_h = jnp.asarray(rng.normal(size=(2 * gh - 1, d)), jnp.float32)
+    rel_pos_w = jnp.asarray(rng.normal(size=(2 * gw - 1, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    r_h = get_rel_pos(gh, gh, rel_pos_h, False)
+    r_w = get_rel_pos(gw, gw, rel_pos_w, False)
+    return q, k, v, rel_pos_h, rel_pos_w, r_h, r_w, w
+
+
+def test_flash_relpos_paired_matches_reference(monkeypatch):
+    """TFIMM_TPU_RELPOS_PAIRED=1 packs head pairs into the 128 lanes; the
+    streaming forward must equal the XLA decomposed-rel-pos path at SAM's
+    d=64 (the only width the pairing gate accepts)."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import (
+        flash_attention_relpos,
+    )
+
+    monkeypatch.setenv("TFIMM_TPU_RELPOS_PAIRED", "1")
+    b, gh, gw, d = 2, 8, 16, 64
+    n = gh * gw
+    q, k, v, rel_pos_h, rel_pos_w, r_h, r_w, _ = _relpos_case(11, gh, gw, d)
+    scale = d ** -0.5
+
+    attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (gh, gw),
+                                  (gh, gw), False)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+
+    qg = q.reshape(b, gh, gw, d)
+    rh_term = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+    rw_term = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+    out = flash_attention_relpos(q, k, v, rh_term, rw_term,
+                                 grid_size=(gh, gw), scale=scale,
+                                 block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("window_sized", [False, True])
+def test_flash_relpos_paired_gradients(monkeypatch, window_sized):
+    """Paired streaming (dq + dkv kernels) and window-fused backward vs
+    autodiff through the XLA path — all of dq/dk/dv incl. the rel terms."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import (
+        flash_attention_relpos,
+    )
+
+    monkeypatch.setenv("TFIMM_TPU_RELPOS_PAIRED", "1")
+    b, gh, gw, d = 2, 4, 8, 64
+    n = gh * gw
+    block = n if window_sized else 16
+    q, k, v, rel_pos_h, rel_pos_w, r_h, r_w, w = _relpos_case(13, gh, gw, d)
+    scale = d ** -0.5
+
+    def loss_ref(q, k, v):
+        attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                      (gh, gw), (gh, gw), False)
+        out = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+        return jnp.sum(out * w)
+
+    def loss_kernel(q, k, v):
+        qg = q.reshape(b, gh, gw, d)
+        rh = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+        rw = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+        out = flash_attention_relpos(q, k, v, rh, rw, grid_size=(gh, gw),
+                                     scale=scale, block_q=block,
+                                     block_k=block, interpret=True)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_ref, g_kernel, "qkv"):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=2e-4,
+                                   rtol=2e-4, err_msg=f"d{name}")
+
+
+def test_flash_relpos_paired_declines_odd_rows(monkeypatch):
+    """Odd B (or d != 64) keeps the per-head path — results must still be
+    correct (the gate, not the kernel, handles it)."""
+    from tfimm_tpu.architectures.segment_anything.image_encoder import (
+        add_decomposed_rel_pos,
+    )
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import (
+        flash_attention_relpos,
+    )
+
+    monkeypatch.setenv("TFIMM_TPU_RELPOS_PAIRED", "1")
+    b, gh, gw, d = 3, 4, 8, 64
+    n = gh * gw
+    q, k, v, rel_pos_h, rel_pos_w, r_h, r_w, _ = _relpos_case(17, gh, gw, d,
+                                                              b=b)
+    scale = d ** -0.5
+    attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (gh, gw),
+                                  (gh, gw), False)
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+    qg = q.reshape(b, gh, gw, d)
+    rh_term = jnp.einsum("bhwc,hkc->bhwk", qg, r_h).reshape(b, n, gh)
+    rw_term = jnp.einsum("bhwc,wkc->bhwk", qg, r_w).reshape(b, n, gw)
+    out = flash_attention_relpos(q, k, v, rh_term, rw_term,
+                                 grid_size=(gh, gw), scale=scale,
+                                 block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_fused_mha_matches_reference():
     """Masked-pair fused MHA kernel vs the reference path (interpret mode)."""
     import numpy as np
