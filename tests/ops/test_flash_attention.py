@@ -319,6 +319,33 @@ def test_flash_relpos_paired_gradients(monkeypatch, window_sized):
                                    rtol=2e-4, err_msg=f"d{name}")
 
 
+def test_fused_mha_stacked_degrades_per_shape(monkeypatch):
+    """With stacking enabled globally, shapes whose stacked working set
+    busts VMEM must fall back to the UNSTACKED pair body (keeping the
+    kernel) rather than losing the kernel entirely — regression for
+    patch8-ViT (N=785, bf16), which fits unstacked but not stacked."""
+    from tfimm_tpu.ops.pallas import fused_mha as fm
+
+    # Gate arithmetic: the exact patch8 shape decision.
+    assert fm._fwd_kernel_fits(785, 768, 2, stacked=False)
+    assert not fm._fwd_kernel_fits(785, 768, 2, stacked=True)
+    assert fm._bwd_kernel_fits(197, 768, 2, stacked=False)
+
+    # End-to-end: the dispatcher accepts the shape with stacking on, and
+    # the (downgraded) kernel matches the XLA twin.
+    monkeypatch.setenv("TFIMM_TPU_MHA_STACKED", "1")
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(23)
+    n, h, d = 48, 4, 64
+    dim = h * d
+    qkv = jnp.asarray(rng.normal(size=(2, n, 3 * dim)), jnp.bfloat16)
+    out = fm.fused_mha(qkv, h, d ** -0.5, interpret=True, stacked=None)
+    ref = fm._reference_mha(qkv, h, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_flash_relpos_paired_declines_odd_rows(monkeypatch):
     """Odd B (or d != 64) keeps the per-head path — results must still be
     correct (the gate, not the kernel, handles it)."""

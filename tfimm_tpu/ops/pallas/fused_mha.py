@@ -140,7 +140,12 @@ def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False,
     n_pairs = nb_heads // 2
     grid = (b,)
     if stacked is None:
-        stacked = _stacked_default()
+        # Degrade per shape: when the stacked body's doubled score block
+        # would bust VMEM (e.g. patch8 ViT, N=785), fall back to the
+        # unstacked pair body instead of losing the kernel entirely.
+        stacked = (_stacked_default()
+                   and _fwd_kernel_fits(n, dim, jnp.dtype(qkv.dtype).itemsize,
+                                        stacked=True))
     pair_fn = _pair_attention_stacked if stacked else _pair_attention
 
     def spec(part):
@@ -310,6 +315,13 @@ def _reference_mha(qkv, nb_heads, scale):
     return o.transpose(0, 2, 1, 3).reshape(b, n, dim).astype(qkv.dtype)
 
 
+def _fwd_kernel_fits(n, dim, itemsize, stacked=False):
+    """Forward program: 4 (n, dim) blocks plus two score-sized f32 live
+    values (s and p); the stacked pair body doubles the score rows."""
+    score_rows = 2 * _sublane_pad(n) if stacked else n
+    return 4 * n * dim * itemsize + 2 * score_rows * n * 4 <= _VMEM_LIMIT_BYTES
+
+
 def _bwd_kernel_fits(n, dim, itemsize, stacked=False):
     """The backward program holds 4 input + 3 output (n, dim) blocks plus
     four (n, n) f32 score-sized intermediates (s, p, dp, ds). The forward
@@ -334,15 +346,19 @@ def _fused_mha_fwd(qkv, nb_heads, scale, interpret):
 def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
     (qkv,) = res
     b, n, three_d = qkv.shape
-    if not _bwd_kernel_fits(n, three_d // 3,
-                            jnp.dtype(qkv.dtype).itemsize,
-                            stacked=_stacked_default()):
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    # Degrade per shape: stacked pair backward -> unstacked pair backward
+    # -> XLA twin, whichever is the richest that fits VMEM.
+    stacked = (_stacked_default()
+               and _bwd_kernel_fits(n, three_d // 3, itemsize, stacked=True))
+    if not _bwd_kernel_fits(n, three_d // 3, itemsize, stacked=stacked):
         # Long sequences (e.g. patch8 ViT, N=785): keep the fused forward
         # (its smaller footprint fits) and take the gradient through the
         # XLA twin instead of the Pallas backward.
         _, vjp = jax.vjp(lambda q: _reference_mha(q, nb_heads, scale), qkv)
         return vjp(g)
-    return (_fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=interpret),)
+    return (_fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=interpret,
+                                stacked=stacked),)
 
 
 fused_mha_diff.defvjp(_fused_mha_fwd, _fused_mha_bwd)
@@ -372,8 +388,8 @@ def fused_mha_or_none(qkv, nb_heads: int, scale: float):
     if 2 * d != 128 or nb_heads % 2:
         return None
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    score_rows = 2 * _sublane_pad(n) if _stacked_default() else n
-    vmem = 4 * n * dim * itemsize + 2 * score_rows * n * 4
-    if vmem > _VMEM_LIMIT_BYTES:
+    # The unstacked footprint is the floor: fused_mha itself downgrades the
+    # stacked body per shape, so stacking never costs kernel coverage.
+    if not _fwd_kernel_fits(n, dim, itemsize, stacked=False):
         return None
     return fused_mha_diff(qkv, nb_heads, scale, interpret)
