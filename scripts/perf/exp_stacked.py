@@ -143,7 +143,30 @@ def main():
                 w.writerow([label, target, paired, 1, round(rate, 1)])
                 f.flush()
                 print(f"  {rate:.1f} img/s", flush=True)
+    summarize()
+
+
+def summarize():
+    """Print stacked-vs-baseline ratios for every completed (model, target)."""
+    if not os.path.exists(OUT):
+        return
+    cells = {}
+    with open(OUT) as f:
+        for r in csv.DictReader(f):
+            cells[(r["model"], r["target"], r["stacked"])] = float(
+                r["img_per_sec"])
+    print("\n=== stacked vs baseline ===")
+    for (model, target, s), on in sorted(cells.items()):
+        if s != "1":
+            continue
+        off = cells.get((model, target, "0"))
+        ratio = f"{on / off:5.3f}x" if off else "  (no baseline)"
+        base = f"{off:9.1f}" if off else "        ?"
+        print(f"{model:42s} {target:9s} {base} -> {on:9.1f}  {ratio}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--summary":
+        summarize()
+    else:
+        main()
