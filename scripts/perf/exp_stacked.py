@@ -36,6 +36,10 @@ CELLS = [
      {"inference": 128, "backprop": 64}),
     ("cait_s24_224", "TFIMM_TPU_CAIT_STACKED",
      {"inference": 128, "backprop": 64}),
+    # Widened forward VMEM gate (compile-verified; backward stays on the
+    # AD twin there) — lets the 577-token CaiT models take the kernel.
+    ("cait_s24_384", "TFIMM_TPU_CAIT_LARGE",
+     {"inference": 32, "backprop": 16}),
 ]
 
 WORKER = r"""

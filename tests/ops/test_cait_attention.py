@@ -179,6 +179,37 @@ def test_dispatch_declines_off_tpu(monkeypatch):
         qkv, wl, bl, ww, bw, nb_heads=h, scale=scale) is None
 
 
+def test_dispatch_large_gate(monkeypatch):
+    """TFIMM_TPU_CAIT_LARGE widens the forward VMEM gate to the
+    compile-verified ceiling so 577-token (@384) CaiT shapes take the
+    kernel; without it the conservative default declines them."""
+    from tfimm_tpu.ops.pallas.cait_attention import (
+        talking_head_attention_or_none, _reference,
+    )
+
+    h, d = 16, 48  # m36-class: dim=768; f32 trips the default 10 MB gate
+    dim = h * d
+    n = 577
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(1, n, 3 * dim)), jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    ww = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    bl = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+    bw = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    assert talking_head_attention_or_none(
+        qkv, wl, bl, ww, bw, nb_heads=h, scale=d ** -0.5) is None
+    monkeypatch.setenv("TFIMM_TPU_CAIT_LARGE", "1")
+    out = talking_head_attention_or_none(
+        qkv, wl, bl, ww, bw, nb_heads=h, scale=d ** -0.5)
+    assert out is not None
+    ref = _reference(qkv, wl, bl, ww, bw, h, d ** -0.5)
+    # 577-length f32 reductions + the kernel's different contraction
+    # order: pure reassociation noise, so the tolerance scales with n.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_dispatch_declines_non_lane_aligned_dim(monkeypatch):
     """dim % 128 != 0 (e.g. cait_xxs24's 192) can't satisfy Mosaic's lane
     divisibility for the (1, N, dim) qkv blocks — the dispatcher must fall
