@@ -16,6 +16,13 @@ __all__ = ["on_tpu", "interpret_forced", "softmax_nomax"]
 
 
 def on_tpu() -> bool:
+    # TFIMM_TPU_ASSUME_TPU=1: deviceless AOT tooling (compile probes,
+    # max-batch analysis on a topology without hardware — see
+    # scripts/perf/compile_probe.py) runs on the cpu backend but compiles
+    # FOR tpu; the kernels must dispatch as they will on the chip or the
+    # compiled program (and its memory analysis) describes the wrong path.
+    if os.environ.get("TFIMM_TPU_ASSUME_TPU", "0") == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
