@@ -34,7 +34,8 @@ A = jax.ShapeDtypeStruct
 
 
 def try_compile(name, fn, *avals):
-    avals = [A(a.shape, a.dtype, sharding=SHARD) for a in avals]
+    avals = [jax.tree.map(lambda a: A(a.shape, a.dtype, sharding=SHARD), t)
+             for t in avals]
     try:
         c = jax.jit(fn).trace(*avals).lower().compile()
         ma = c.memory_analysis()
@@ -140,8 +141,51 @@ def probe_relpos():
                     argnums=(0, 1, 2, 3, 4))(*a), q, q, q, rh, rw)
 
 
+def probe_models():
+    """Whole-model compiles with chip-mode kernel dispatch
+    (TFIMM_TPU_ASSUME_TPU=1) — the integration the CPU test suite can only
+    reach in interpret mode. Also compiles each model with its
+    pending-measurement variant toggled on."""
+    os.environ["TFIMM_TPU_ASSUME_TPU"] = "1"
+    from tfimm_tpu import create_model
+
+    cases = [
+        ("vit_base_patch16_224", 8, "TFIMM_TPU_MHA_STACKED"),
+        ("swin_tiny_patch4_window7_224", 8, "TFIMM_TPU_WINDOW_STACKED"),
+        ("cait_s24_224", 8, "TFIMM_TPU_CAIT_STACKED"),
+        ("convnext_base", 8, None),
+        ("resnet50", 8, None),
+    ]
+    for name, bs, toggle in cases:
+        model = create_model(name, dtype=jnp.bfloat16)
+        h, w = model.cfg.input_size
+        x = A((bs, h, w, model.cfg.in_channels), jnp.bfloat16)
+        pav = jax.tree.map(lambda a: A(a.shape, a.dtype), model.params)
+
+        def fwd(params, x, model=model):
+            y = model.apply(params, x, training=False)
+            return y[0] if isinstance(y, tuple) else y
+
+        def bwd(params, x, model=model):
+            def loss(p):
+                y = model.apply(p, x, training=False)
+                out = y[0] if isinstance(y, tuple) else y
+                return out.astype(jnp.float32).mean()
+
+            return jax.grad(loss)(params)
+
+        for env_on in ([None] if toggle is None else ["0", "1"]):
+            if toggle is not None:
+                os.environ[toggle] = env_on
+            sfx = f" {toggle}={env_on}" if toggle else ""
+            try_compile(f"{name} fwd{sfx}", fwd, pav, x)
+            try_compile(f"{name} bwd{sfx}", bwd, pav, x)
+        if toggle is not None:
+            os.environ.pop(toggle, None)
+
+
 PROBES = {"cait": probe_cait, "mha": probe_mha, "window": probe_window,
-          "relpos": probe_relpos}
+          "relpos": probe_relpos, "models": probe_models}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(PROBES)
