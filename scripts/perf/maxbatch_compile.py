@@ -130,7 +130,9 @@ def find_max_batch(model, target, lo=32, hi=256):
                 break
             good, good_m = bs, m
             bs = max(bs + 8, int(bs * 1.25) // 8 * 8)
-    while bad - good > 8:
+    # ~3% relative granularity: each compile costs 1-3 minutes, and a
+    # batch bound tighter than a few percent has no operational value.
+    while bad - good > max(8, good // 32):
         mid = (good + bad) // 2 // 8 * 8
         if mid in (good, bad):
             break
