@@ -106,6 +106,10 @@ def fits(model, target, bs):
     except Exception as e:  # jaxlib raises backend-specific error types
         msg = str(e)
         if "RESOURCE_EXHAUSTED" in msg or "hbm usage" in msg.lower():
+            # Log the first line so an audit can distinguish the compiler's
+            # genuine "Total hbm usage >= 16.0G" rejection from any other
+            # RESOURCE_EXHAUSTED (the boundary claim rests on the former).
+            print(f"  oom@{bs}: {msg.splitlines()[0][:160]}", flush=True)
             return None
         raise
 
