@@ -45,9 +45,10 @@ def _cache_dir() -> Path:
 
 
 _BUILD_FLAGS = [
-    # -march=native vectorizes the separable-resize blend loops for the
-    # local ISA; safe because the .so is cached per machine (flags are part
-    # of the cache key below). Falls back to portable flags if unsupported.
+    # -march=native enables the AVX2 gather path in the resize kernel and
+    # vectorizes its blend loops for the local ISA; safe because the .so is
+    # cached per machine (flags + host CPU are part of the cache key below).
+    # Falls back to portable flags (scalar resize) if unsupported.
     "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
 ]
 _PORTABLE_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17"]

@@ -16,6 +16,10 @@
 #include <utility>
 #include <vector>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include <jpeglib.h>
 #include <png.h>
 
@@ -105,83 +109,83 @@ int tfimm_decode_jpeg(const unsigned char* buf, size_t len,
 // with antialias off for upscaling; good enough for training-pipeline
 // downscale after DCT pre-scaling has done the heavy reduction).
 //
-// Two implementations behind one entry point, both numerically identical
-// (same op order, one final rounding):
-//  - a separable two-pass form: each needed SOURCE row is horizontally
-//    resampled once into a float row (coefficients precomputed per column),
-//    cached, and consecutive output rows blend two cached rows in a
-//    unit-stride loop the compiler auto-vectorizes. Wins whenever output
-//    rows share source rows, i.e. sh < 2*dh (measured 1.3x at 256->224,
-//    2.3x at 1024->224);
-//  - the direct per-pixel form for sh >= 2*dh, where every output row
-//    touches fresh source rows and the float intermediate only adds
-//    traffic (separable measured 0.75x there).
-static void resize_bilinear_direct(const unsigned char* src, int sh, int sw,
-                                   unsigned char* dst, int dh, int dw,
-                                   int ch) {
-    const float ys = static_cast<float>(sh) / dh;
-    const float xs = static_cast<float>(sw) / dw;
-    for (int y = 0; y < dh; ++y) {
-        float fy = (y + 0.5f) * ys - 0.5f;
-        if (fy < 0) fy = 0;
-        int y0 = static_cast<int>(fy);
-        int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-        float wy = fy - y0;
-        for (int x = 0; x < dw; ++x) {
-            float fx = (x + 0.5f) * xs - 0.5f;
-            if (fx < 0) fx = 0;
-            int x0 = static_cast<int>(fx);
-            int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-            float wx = fx - x0;
-            const unsigned char* p00 = src + (static_cast<size_t>(y0) * sw + x0) * ch;
-            const unsigned char* p01 = src + (static_cast<size_t>(y0) * sw + x1) * ch;
-            const unsigned char* p10 = src + (static_cast<size_t>(y1) * sw + x0) * ch;
-            const unsigned char* p11 = src + (static_cast<size_t>(y1) * sw + x1) * ch;
-            unsigned char* q = dst + (static_cast<size_t>(y) * dw + x) * ch;
-            for (int k = 0; k < ch; ++k) {
-                float top = p00[k] + (p01[k] - p00[k]) * wx;
-                float bot = p10[k] + (p11[k] - p10[k]) * wx;
-                float v = top + (bot - top) * wy;
-                q[k] = static_cast<unsigned char>(v + 0.5f);
-            }
+// Separable two-pass form for every scale: each needed SOURCE row is
+// horizontally resampled once into a float row via a FLAT element-indexed
+// gather loop (per-element source indices and weights precomputed, so the
+// loop is 8-wide AVX2 gathers where available), cached, and each output row
+// blends two float rows in a unit-stride loop the compiler auto-vectorizes.
+// When output rows share source rows (sh < 2*dh) the cache saves half the
+// horizontal work; above that the gather loop reads exactly the bytes the
+// old per-pixel form read, but vectorized.
+
+// out[i] = r[i0[i]] + (r[i1[i]] - r[i0[i]]) * w[i] over n flat elements.
+// allow_overread: the AVX2 path gathers 32-bit words at byte offsets, so it
+// reads up to 3 bytes past r + (max index); callers pass true only when that
+// tail is still inside their buffer (any source row but the last).
+static void hresample_row(const unsigned char* r, int n,
+                          const int* i0, const int* i1, const float* w,
+                          float* out, bool allow_overread) {
+    int i = 0;
+#ifdef __AVX2__
+    if (allow_overread) {
+        const __m256i bytemask = _mm256_set1_epi32(0xFF);
+        for (; i + 8 <= n; i += 8) {
+            const __m256i idx0 =
+                _mm256_loadu_si256(reinterpret_cast<const __m256i*>(i0 + i));
+            const __m256i idx1 =
+                _mm256_loadu_si256(reinterpret_cast<const __m256i*>(i1 + i));
+            const __m256i g0 = _mm256_i32gather_epi32(
+                reinterpret_cast<const int*>(r), idx0, 1);
+            const __m256i g1 = _mm256_i32gather_epi32(
+                reinterpret_cast<const int*>(r), idx1, 1);
+            const __m256 a =
+                _mm256_cvtepi32_ps(_mm256_and_si256(g0, bytemask));
+            const __m256 b =
+                _mm256_cvtepi32_ps(_mm256_and_si256(g1, bytemask));
+            const __m256 ww = _mm256_loadu_ps(w + i);
+            const __m256 v =
+                _mm256_fmadd_ps(_mm256_sub_ps(b, a), ww, a);
+            _mm256_storeu_ps(out + i, v);
         }
+    }
+#else
+    (void)allow_overread;
+#endif
+    for (; i < n; ++i) {
+        const float a = r[i0[i]];
+        const float b = r[i1[i]];
+        out[i] = a + (b - a) * w[i];
     }
 }
 
 void tfimm_resize_bilinear_u8(const unsigned char* src, int sh, int sw,
                               unsigned char* dst, int dh, int dw, int ch) {
-    if (sh >= 2 * dh) {
-        resize_bilinear_direct(src, sh, sw, dst, dh, dw, ch);
-        return;
-    }
     const float ys = static_cast<float>(sh) / dh;
     const float xs = static_cast<float>(sw) / dw;
     const int row_elems = dw * ch;
 
-    std::vector<int> xo0(dw), xo1(dw);
-    std::vector<float> wx(dw);
+    // Flat per-ELEMENT source indices/weights: i0[x*ch+k] points at channel
+    // k of source column x0, so hresample_row needs no inner channel loop.
+    std::vector<int> i0(row_elems), i1(row_elems);
+    std::vector<float> wx(row_elems);
     for (int x = 0; x < dw; ++x) {
         float fx = (x + 0.5f) * xs - 0.5f;
         if (fx < 0) fx = 0;
         int x0 = static_cast<int>(fx);
         int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-        xo0[x] = x0 * ch;
-        xo1[x] = x1 * ch;
-        wx[x] = fx - x0;
+        for (int k = 0; k < ch; ++k) {
+            i0[x * ch + k] = x0 * ch + k;
+            i1[x * ch + k] = x1 * ch + k;
+            wx[x * ch + k] = fx - x0;
+        }
     }
 
     std::vector<float> row_a(row_elems), row_b(row_elems);
     int cached_a = -1, cached_b = -1;
     auto hresample = [&](int sy, float* out) {
-        const unsigned char* r = src + static_cast<size_t>(sy) * sw * ch;
-        for (int x = 0; x < dw; ++x) {
-            const unsigned char* p0 = r + xo0[x];
-            const unsigned char* p1 = r + xo1[x];
-            const float w = wx[x];
-            float* q = out + x * ch;
-            for (int k = 0; k < ch; ++k)
-                q[k] = p0[k] + (p1[k] - p0[k]) * w;
-        }
+        hresample_row(src + static_cast<size_t>(sy) * sw * ch, row_elems,
+                      i0.data(), i1.data(), wx.data(), out,
+                      /*allow_overread=*/sy + 1 < sh);
     };
 
     for (int y = 0; y < dh; ++y) {
