@@ -13,11 +13,25 @@ near the boundary to make it fit when it can — which is why a linear
 memory extrapolation UNDERestimates the true max). Method per
 (model, target): fit a linear memory model from two cheap probes to seed
 the search, then gallop/bisect on compile success at multiple-of-8
-granularity. The reported batch is compile-verified to fit and batch+8
-(or the gallop bound) is compile-verified to fail.
+granularity, stopping at a ~3% relative gap (each compile costs minutes;
+a tighter bound has no operational value). The reported max_batch_size is
+compile-verified to fit and fail_batch_size (at most ~3% above it) is
+compile-verified to be rejected.
+
+Accounting caveats, so the CSV reads honestly:
+- memory_analysis_bytes is jax's arg+out+temp-alias sum at the max batch.
+  It approximates but does NOT equal the quantity the compiler's internal
+  HBM check bounds (donation/aliasing edge cases differ — backprop rows
+  can exceed 16 GiB on this metric yet compile), and one observed
+  rejection class (convnext_base inference) trips a compiler limit well
+  below total-HBM. The compile verdict, not this column, is the boundary.
+- The deviceless compile bounds against the chip's full HBM; it knows
+  nothing of the runtime's reserved slice (~0.75 GiB on a real v5e), so
+  rows are compiler bounds, not runtime guarantees, until the oracle is
+  calibrated against one real on-chip OOM (TODO playbook).
 
 Writes results/v5e_maxbatch_compile.csv (resumable; rows are skipped on
-rerun). ~1-2 min per cell on one core.
+rerun). ~1-3 min per compile on one core.
 """
 
 import csv
@@ -115,17 +129,20 @@ def fits(model, target, bs):
 
 
 def find_max_batch(model, target, lo=32, hi=256):
+    """Returns (good, good_bytes, bad): good compiled, bad was rejected."""
     m_lo = fits(model, target, lo)
     if m_lo is None:
-        return 0, 0
+        return 0, 0, lo
     m_hi = fits(model, target, hi)
     if m_hi is None:
         good, good_m, bad = lo, m_lo, hi
     else:
         # Seed the gallop from a linear extrapolation of the two probes
-        # (an underestimate when the compiler remats near the boundary).
+        # (an underestimate when the compiler remats near the boundary);
+        # step past hi so the first fits() call is a new batch size.
         slope = max((m_hi - m_lo) / (hi - lo), 1.0)
-        bs = max(int((BUDGET - m_lo + slope * lo) / slope) // 8 * 8, hi)
+        bs = max(int((BUDGET - m_lo + slope * lo) / slope) // 8 * 8,
+                 hi + 8)
         good, good_m = hi, m_hi
         while True:
             m = fits(model, target, bs)
@@ -145,7 +162,7 @@ def find_max_batch(model, target, lo=32, hi=256):
             bad = mid
         else:
             good, good_m = mid, m
-    return good, good_m
+    return good, good_m, bad
 
 
 def done_rows():
@@ -165,7 +182,7 @@ def main():
         w = csv.writer(f)
         if new:
             w.writerow(["model", "dtype", "target", "max_batch_size",
-                        "hbm_bytes_at_max", "budget_bytes"])
+                        "memory_analysis_bytes", "fail_batch_size"])
         for name in only:
             model = None
             for target in ("inference", "backprop"):
@@ -176,14 +193,15 @@ def main():
                     model = create_model(name, dtype=jnp.bfloat16)
                 print(f"probe {name} {target} ...", flush=True)
                 try:
-                    bs, m = find_max_batch(model, target)
+                    bs, m, bad = find_max_batch(model, target)
                 except Exception as e:  # noqa: BLE001 — record and move on
                     print(f"  FAILED {type(e).__name__}: "
                           f"{str(e)[:200]}", flush=True)
                     continue
-                w.writerow([name, "bfloat16", target, bs, m, BUDGET])
+                w.writerow([name, "bfloat16", target, bs, m, bad])
                 f.flush()
-                print(f"  max_bs={bs} ({m / 2 ** 30:.2f} GiB)", flush=True)
+                print(f"  max_bs={bs} ({m / 2 ** 30:.2f} GiB), "
+                      f"fail@{bad}", flush=True)
 
 
 if __name__ == "__main__":

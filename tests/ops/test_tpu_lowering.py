@@ -11,8 +11,6 @@ Shapes are the real model shapes each kernel ships at (ViT-B N=197,
 Swin stage-1 pairs N=104, CaiT-S24, SAM 64x64 global / 14x14 windowed).
 """
 
-import os
-
 import numpy as np  # noqa: F401
 import pytest
 

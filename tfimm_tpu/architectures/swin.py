@@ -224,6 +224,11 @@ class SwinTransformerBlock:
         self.norm1 = norm(embed_dim)
         self.attn = WindowAttention(cfg, embed_dim, nb_heads, self.window_size)
         self.norm2 = norm(embed_dim)
+        # The fused whole-block kernel hard-codes standard LayerNorm
+        # (scale/bias, eps 1e-5) and the gelu policy; any other configured
+        # norm/activation must decline the kernel, not silently drift.
+        self.fused_block_ok = (cfg.norm_layer == "layer_norm"
+                               and cfg.act_layer == "gelu")
         self.mlp = MLP(embed_dim, int(embed_dim * cfg.mlp_ratio),
                        act_layer=cfg.act_layer, drop_rate=cfg.drop_rate,
                        kernel_init=trunc_normal(0.02))
@@ -253,6 +258,8 @@ class SwinTransformerBlock:
         path). Returns None when the kernel dispatcher declines."""
         from tfimm_tpu.ops.pallas.swin_block import swin_block_padded_or_none
 
+        if not self.fused_block_ok:
+            return None
         return swin_block_padded_or_none(
             p, wins_padded, self._rel_bias(p), self.attn_mask,
             nb_heads=self.attn.nb_heads, scale=self.attn.scale,
@@ -272,6 +279,7 @@ class SwinTransformerBlock:
         if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
                 and os.environ.get("TFIMM_TPU_NO_FUSED_BLOCK", "0") != "1"
                 and not current_context().training
+                and self.fused_block_ok
                 and h % ws == 0 and w % ws == 0):
             from tfimm_tpu.ops.pallas.swin_block import swin_block_or_none
 
@@ -368,7 +376,7 @@ class SwinTransformerStage:
         nb_windows = (h // ws) * (w // ws)
         n_pad = padded_rows(ws * ws)
         for i, blk in enumerate(self.blocks):
-            if blk.window_size != ws:
+            if blk.window_size != ws or not blk.fused_block_ok:
                 return False
             has_mask = blk.attn_mask is not None
             nb_win = nb_windows if has_mask else 1

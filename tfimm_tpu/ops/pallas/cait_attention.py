@@ -73,7 +73,10 @@ def _sublane_pad(n: int) -> int:
 
 
 def _pick_chunk(h, per_block_bytes, persistent_bytes):
-    """Largest head-chunk (divisor of H) whose stacked working set fits."""
+    """Largest head-chunk (divisor of H) whose stacked working set fits.
+
+    Returns 0 when even chunk=1 busts the budget — callers must then
+    degrade to the unstacked per-head body, whose own gates apply."""
     forced = os.environ.get("TFIMM_TPU_CAIT_STACK_CHUNK")
     if forced:
         return min(int(forced), h)
@@ -81,7 +84,7 @@ def _pick_chunk(h, per_block_bytes, persistent_bytes):
         if h % ch == 0 and persistent_bytes + ch * per_block_bytes \
                 <= _VMEM_LIMIT_BYTES:
             return ch
-    return 1
+    return 0
 
 
 def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
@@ -192,7 +195,7 @@ def talking_head_attention(qkv, w_l, b_l, w_w, b_w, *, nb_heads: int,
         o_ref[0] = acc.astype(o_ref.dtype)
 
     return pl.pallas_call(
-        kernel_stacked if _stacked_default() else kernel,
+        kernel_stacked if (_stacked_default() and chunk > 0) else kernel,
         grid=(b,),
         in_specs=[spec(0), spec(1), spec(2),
                   full((h, dim)), full((h, dim)), full((h, n)),
@@ -417,7 +420,7 @@ def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
         dw_ref[0] = jnp.concatenate(dw_rows, axis=0)
 
     dqkv, dl, dw = pl.pallas_call(
-        kernel_stacked if _stacked_default() else kernel,
+        kernel_stacked if (_stacked_default() and chunk > 0) else kernel,
         grid=(b,),
         in_specs=[spec(0), spec(1), spec(2),
                   pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),
@@ -473,6 +476,9 @@ def _th_bwd(nb_heads, scale, interpret, res, g):
     # that is ~30 MB of scoped VMEM and Mosaic refuses the stack
     # allocation. Fall back to autodiff of the XLA twin there — the
     # forward kernel still serves, and training correctness is identical.
+    # (The stacked backward body budgets its own per-chunk working set via
+    # _pick_chunk and degrades to the unstacked body below when even
+    # chunk=1 would not fit, so this gate is the floor for both bodies.)
     bwd_vmem = 10 * n * dim * 4 + 4 * n * n * 4
     if b_l is None or b_w is None or bwd_vmem > _VMEM_LIMIT_BYTES:
         _, vjp = jax.vjp(

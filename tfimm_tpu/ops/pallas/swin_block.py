@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tfimm_tpu.ops.pallas.dispatch import interpret_forced, on_tpu
+from tfimm_tpu.ops.window_gather import padded_rows
 from tfimm_tpu.ops.pallas.window_mha import (_MAX_UNROLL, _group_attention,
                                              _group_attention_stacked,
                                              _head_groups, _pack_group,
@@ -249,7 +250,12 @@ def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
 
 
 def _prep_params(p, c, dt):
-    """Split the SwinTransformerBlock param dict into kernel operands."""
+    """Split the SwinTransformerBlock param dict into kernel operands.
+
+    Assumes standard LayerNorm params (scale/bias; the kernel bakes in
+    eps 1e-5) and the gelu policy — callers gate dispatch on
+    ``cfg.norm_layer == "layer_norm" and cfg.act_layer == "gelu"``
+    (SwinTransformerBlock.fused_block_ok)."""
     wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
     bqkv = p["attn"]["qkv"].get("bias")
     zeros_c = jnp.zeros((1, c), jnp.float32)
@@ -309,7 +315,7 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
     # garbage and sliced off. With this, fused also beats the unfused path
     # at C=96 UNSHIFTED (4.10 vs ~5.2 ms), which round-1 had gated to XLA.
     n0 = n
-    n = -(-n // 4) * 4
+    n = padded_rows(n)
     if n != n0:
         x_windows = jnp.pad(x_windows, ((0, 0), (0, n - n0), (0, 0)))
         bias, mask = _pad_bias_mask(bias, mask, n0, n, nb_heads)
@@ -351,7 +357,7 @@ def swin_block_padded_or_none(p, x_padded, bias, mask, *, nb_heads: int,
     the caller must then fall back to the un-padded unfused path.
     """
     bw, n, c = x_padded.shape
-    if n != -(-n_real // 4) * 4:
+    if n != padded_rows(n_real):
         return None
     nb_win = mask.shape[0] if mask is not None else 1
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]

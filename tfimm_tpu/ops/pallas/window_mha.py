@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tfimm_tpu.ops.pallas.dispatch import softmax_nomax
+from tfimm_tpu.ops.window_gather import padded_rows
 
 __all__ = ["window_mha", "window_mha_or_none"]
 
@@ -366,8 +367,49 @@ def _group_attention_bwd_stacked(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
     return dq, dk, dv, ds_heads
 
 
+def _reference_window_mha(q, k, v, bias, mask, nb_heads, scale):
+    """XLA twin of window_mha (same math incl. the clamped no-max softmax).
+    Only used to derive the backward when the Pallas backward's VMEM
+    footprint would not fit (see _window_mha_bwd)."""
+    bw, n, c = q.shape
+    d = c // nb_heads
+    qh, kh, vh = (t.reshape(bw, n, nb_heads, d).transpose(0, 2, 1, 3)
+                  .astype(jnp.float32) for t in (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh)
+    s = s + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        nb_win = mask.shape[0]
+        # Row r of the (BW, ...) layout is window r % nb_win (window-major
+        # inner) — the same indexing as the kernel's mask BlockSpec.
+        s = (s.reshape(bw // nb_win, nb_win, nb_heads, n, n)
+             + mask.astype(jnp.float32)[None, :, None])
+        s = s.reshape(bw, nb_heads, n, n)
+    p = softmax_nomax(s)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(bw, n, c).astype(q.dtype)
+
+
+def _bwd_fits(wb, n, c, nb_heads, itemsize, has_mask, stacked) -> bool:
+    """VMEM budget for ONE backward program: 7 window-chunk io blocks
+    (q/k/v/g in, dq/dk/dv out), two bias-sized f32 blocks (bias + the
+    resident dbias accumulator), the bf16 mask chunk, and the group body's
+    live f32 intermediates — 4 score-sized (s/p/dp/ds; stacked bodies keep
+    all J heads' score rows live at once) plus ~7 (n, lane-width) operand/
+    accumulator rows. The forward gate alone does NOT cover this (~2x the
+    forward footprint) — same failure class fused_mha hit at N=785."""
+    d = c // nb_heads
+    width = min(128, c)
+    j = max(1, width // d) if stacked else 1
+    vmem = (7 * wb * n * c * itemsize
+            + 2 * nb_heads * n * n * 4
+            + (wb * n * n * 2 if has_mask else 0)
+            + 4 * j * n * n * 4
+            + 7 * n * width * 4)
+    return vmem <= _VMEM_LIMIT_BYTES
+
+
 def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
-                         interpret=False):
+                         stacked, interpret=False):
     bw0, n0, c = q.shape
     d = c // nb_heads
     nb_win = mask.shape[0] if mask is not None else 1
@@ -409,7 +451,7 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
         def _():
             db_ref[...] = jnp.zeros_like(db_ref)
 
-        group_bwd = (_group_attention_bwd_stacked if _stacked_enabled(n)
+        group_bwd = (_group_attention_bwd_stacked if stacked
                      else _group_attention_bwd)
         for w in range(wb):
             mw = m_ref[w] if m_ref is not None else None
@@ -448,7 +490,15 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def window_mha_diff(q, k, v, bias, mask, nb_heads: int, scale: float,
                     interpret: bool = False):
-    """Differentiable fused windowed MHA (custom VJP, Pallas backward)."""
+    """Differentiable fused windowed MHA (custom VJP, Pallas backward).
+
+    Gradients flow to q/k/v and the bias table. The shift ``mask`` is
+    treated as a structural constant: its cotangent is always zero
+    (stop-gradient semantics) — it never differs between windows of the
+    same model and is precomputed in numpy by every caller. When the
+    Pallas backward's VMEM footprint would not fit, the gradient is taken
+    through an XLA twin instead (the fused forward is kept either way).
+    """
     return window_mha(q, k, v, bias, mask, nb_heads=nb_heads, scale=scale,
                       interpret=interpret)
 
@@ -461,8 +511,31 @@ def _window_mha_fwd(q, k, v, bias, mask, nb_heads, scale, interpret):
 
 def _window_mha_bwd(nb_heads, scale, interpret, res, g):
     q, k, v, bias, mask = res
+    bw0, n0, c = q.shape
+    nb_win = mask.shape[0] if mask is not None else 1
+    # Mirror the packing the backward call will apply, to budget its VMEM.
+    pk = _pack_factor(bw0, n0, nb_win, mask)
+    n = pk * n0
+    wb = _pick_wb(bw0 // pk, nb_heads, max(1, nb_win // pk), mask is not None)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # Degrade per shape: stacked backward -> per-head backward -> XLA twin,
+    # whichever is the richest that fits VMEM.
+    stacked = (_stacked_enabled(n)
+               and _bwd_fits(wb, n, c, nb_heads, itemsize, mask is not None,
+                             stacked=True))
+    if not _bwd_fits(wb, n, c, nb_heads, itemsize, mask is not None,
+                     stacked=stacked):
+        _, vjp = jax.vjp(
+            lambda qq, kk, vv, bb: _reference_window_mha(
+                qq, kk, vv, bb, mask, nb_heads, scale), q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+        dmask = jnp.zeros_like(mask) if mask is not None else None
+        return dq, dk, dv, dbias.astype(bias.dtype), dmask
     dq, dk, dv, dbias = _window_mha_bwd_call(
-        q, k, v, bias, mask, g, nb_heads, scale, interpret=interpret)
+        q, k, v, bias, mask, g, nb_heads, scale, stacked,
+        interpret=interpret)
+    # The shift mask is a structural constant: its cotangent is defined as
+    # zero (stop-gradient) on every path, kernel and twin alike.
     dmask = jnp.zeros_like(mask) if mask is not None else None
     return dq, dk, dv, dbias.astype(bias.dtype), dmask
 
@@ -502,7 +575,7 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     # padded query rows are sliced off. The pad/slice sit OUTSIDE the custom
     # VJP, so autodiff (incl. the bias-table gradient) routes through them.
     n0 = n
-    npad = -(-n // 4) * 4
+    npad = padded_rows(n)
     if npad != n:
         pads = ((0, 0), (0, npad - n), (0, 0))
         q, k, v = jnp.pad(q, pads), jnp.pad(k, pads), jnp.pad(v, pads)
