@@ -21,66 +21,53 @@ Timing methodology (both steps matter through the axon remote-TPU tunnel):
      but "1.8 ms" at n=100), which the difference cancels exactly.
 """
 
+import csv
 import json
-import time
-
-import jax
-import numpy as np
+import os
 
 BASELINE_IMG_PER_SEC = 3865.84  # V100 fp32, results/profiling/v100.csv
-# results/flops.csv stores MACs (= FLOPs/2, the timm/tfimm table convention);
-# the roofline fraction needs true FLOPs: 17.84 GMACs -> 35.68 GFLOP/img.
-# SEMANTIC CHANGE (round 2): roofline_fraction values printed before this
-# 2x MACs->FLOPs correction (BENCH_r01.json) understate by exactly 2x —
-# compare historical JSON lines accordingly.
-VIT_B16_FLOPS = 2 * 17.84e9  # per image at 224x224
 V5E_BF16_PEAK = 197e12  # TFLOP/s
 
 
-# True FLOPs/img (= 2x the MACs stored in results/flops.csv) for the
-# secondary north-star config. (Swin is deliberately NOT benched here: its
+def _flops_per_image(name, fallback_macs):
+    """True FLOPs/img = 2x the MACs stored in results/flops.csv (the
+    timm/tfimm table stores MACs; XLA cost analysis, matches timm param-for-
+    param). Read from the committed artifact so bench.py and the sweep
+    scripts (resweep/zoo, which read the same file) publish identical
+    roofline math — a hand-copied constant here drifted 3.7% for
+    convnext_base in round 2. SEMANTIC CHANGE (round 2): roofline_fraction
+    values printed before the 2x MACs->FLOPs correction (BENCH_r01.json)
+    understate by exactly 2x — compare historical JSON lines accordingly."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "flops.csv")
+    try:
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                if row["model"] == name:
+                    return 2 * float(row["flops"])
+    except OSError:
+        pass
+    return 2 * fallback_macs
+
+
+VIT_B16_FLOPS = _flops_per_image("vit_base_patch16_224", 17.84e9)
+# Secondary north-star config. (Swin is deliberately NOT benched here: its
 # windowed-attention Pallas kernels take ~8 min per variant to compile
 # through the remote-TPU tunnel, which would blow the bench's time budget —
 # Swin numbers are published in results/v5e_headline.csv instead.)
-CONVNEXT_B_FLOPS = 2 * 15.36e9
+CONVNEXT_B_FLOPS = _flops_per_image("convnext_base", 15.96e9)
 
 
-def _throughput(name, batch_size=128, n1=10, n2=60):
-    import jax.numpy as jnp
+def _throughput(name, batch_size=128):
+    """Slope-timed inference throughput — the shared implementation in
+    utils/profile.py (one jitted fori_loop with a data dependency, traced
+    count, differential timing, positive-slope retries). bench.py and every
+    published CSV must time the same way; a second copy here drifted from
+    time_model once (tuple outputs) before being consolidated."""
+    from tfimm_tpu.utils.profile import time_model
 
-    from tfimm_tpu import create_model
-
-    model = create_model(name, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(-1, 1, size=(batch_size, 224, 224, 3)), jnp.bfloat16
-    )
-
-    @jax.jit
-    def forward_n(params, x, n):
-        def body(_, carry):
-            y = model.apply(params, carry, training=False)
-            return carry + (y.mean() * 0).astype(carry.dtype)
-        return jax.lax.fori_loop(0, n, body, x).mean()
-
-    params = jax.device_put(model.params)
-
-    def timed(n):
-        start = time.perf_counter()
-        np.asarray(forward_n(params, images, n))
-        return time.perf_counter() - start
-
-    np.asarray(forward_n(params, images, 3))  # compile + warm-up
-    # Guard against tunnel hiccups: retake the pair until the slope is
-    # positive rather than publishing a zero/negative rate.
-    t1, t2 = timed(n1), timed(n2)
-    for _ in range(3):
-        if t2 > t1:
-            break
-        t1, t2 = timed(n1), timed(n2)
-    if t2 <= t1:
-        raise RuntimeError(f"non-monotonic timing for {name}: {t1}s vs {t2}s")
-    return batch_size * (n2 - n1) / (t2 - t1)
+    return time_model(name, target="inference", batch_size=batch_size,
+                      nb_batches=12)
 
 
 def main():

@@ -24,6 +24,12 @@ import csv
 import os
 import subprocess
 import sys
+import time
+
+# After a timed-out worker is killed, its in-flight remote-TPU work can
+# linger server-side and contend the next cell's slope timing (the exact
+# zombie-contention failure the round-2 sweeps hit); let the chip drain.
+SETTLE_AFTER_TIMEOUT_S = 120
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 OUT = os.path.join(ROOT, "results", "stacked_experiment.csv")
@@ -88,7 +94,10 @@ def run_sam_cell(mode, marker, paired):
         env=env, capture_output=True, text=True, timeout=2400)
     for line in p.stdout.splitlines():
         if marker in line and "img/s" in line:
-            return float(line.rsplit("(", 1)[1].split()[0])
+            try:
+                return float(line.rsplit("(", 1)[1].split()[0])
+            except (IndexError, ValueError):
+                break  # unexpected format: report FAILED, keep sweeping
     sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
     return None
 
@@ -102,7 +111,11 @@ def main():
     with open(OUT, "a", newline="") as f:
         w = csv.writer(f)
         if new_file:
-            w.writerow(["model", "target", "stacked", "batch_size",
+            # "toggle" records WHICH env var the on/off column refers to:
+            # the cait_s24_384 row toggles TFIMM_TPU_CAIT_LARGE (kernel vs
+            # XLA fallback), NOT a stacked body — don't read its ratio as a
+            # stacking result.
+            w.writerow(["model", "target", "toggle", "stacked", "batch_size",
                         "img_per_sec"])
         for model, env_var, targets in CELLS:
             for target, bs in targets.items():
@@ -118,12 +131,16 @@ def main():
                         rate = run_cell(model, env_var, target, bs,
                                         stacked == "1")
                     except subprocess.TimeoutExpired:
-                        print("  TIMEOUT", flush=True)
+                        print(f"  TIMEOUT (settling {SETTLE_AFTER_TIMEOUT_S}s"
+                              " for the killed worker's remote work)",
+                              flush=True)
+                        time.sleep(SETTLE_AFTER_TIMEOUT_S)
                         continue
                     if rate is None:
                         print("  FAILED", flush=True)
                         continue
-                    w.writerow([model, target, stacked, bs, round(rate, 1)])
+                    w.writerow([model, target, env_var, stacked, bs,
+                                round(rate, 1)])
                     f.flush()
                     print(f"  {rate:.1f} img/s", flush=True)
         for label, mode, marker in SAM_CELLS:
@@ -139,12 +156,16 @@ def main():
                 try:
                     rate = run_sam_cell(mode, marker, paired == "1")
                 except subprocess.TimeoutExpired:
-                    print("  TIMEOUT", flush=True)
+                    print(f"  TIMEOUT (settling {SETTLE_AFTER_TIMEOUT_S}s"
+                          " for the killed worker's remote work)",
+                          flush=True)
+                    time.sleep(SETTLE_AFTER_TIMEOUT_S)
                     continue
                 if rate is None:
                     print("  FAILED", flush=True)
                     continue
-                w.writerow([label, target, paired, 1, round(rate, 1)])
+                w.writerow([label, target, "TFIMM_TPU_RELPOS_PAIRED",
+                            paired, 1, round(rate, 1)])
                 f.flush()
                 print(f"  {rate:.1f} img/s", flush=True)
     summarize()
@@ -155,18 +176,22 @@ def summarize():
     if not os.path.exists(OUT):
         return
     cells = {}
+    toggles = {}
     with open(OUT) as f:
         for r in csv.DictReader(f):
             cells[(r["model"], r["target"], r["stacked"])] = float(
                 r["img_per_sec"])
-    print("\n=== stacked vs baseline ===")
+            toggles[(r["model"], r["target"])] = r.get("toggle", "")
+    print("\n=== toggle on vs off ===")
     for (model, target, s), on in sorted(cells.items()):
         if s != "1":
             continue
         off = cells.get((model, target, "0"))
         ratio = f"{on / off:5.3f}x" if off else "  (no baseline)"
         base = f"{off:9.1f}" if off else "        ?"
-        print(f"{model:42s} {target:9s} {base} -> {on:9.1f}  {ratio}")
+        tog = toggles.get((model, target), "")
+        print(f"{model:32s} {target:9s} {tog:26s} "
+              f"{base} -> {on:9.1f}  {ratio}")
 
 
 if __name__ == "__main__":

@@ -59,57 +59,102 @@ def flops_table():
     return out
 
 
+HEADLINE_HEADER = ["model", "dtype", "batch_size", "target", "img_per_sec",
+                   "v100_fp32_ref", "v100_mixed_ref", "roofline_fraction"]
+SWEEP_HEADER = ["model", "dtype", "inference_batch_size",
+                "backprop_batch_size", "inference_img_per_sec",
+                "backprop_img_per_sec"]
+# Measured separately at 1024^2 (exp_sam_window.py); seeded if absent.
+SAM_ROWS = [
+    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "inference", "37.9",
+     "", "", ""],
+    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "backprop", "13.6",
+     "", "", ""],
+]
+
+
+def _load(path, key):
+    """Existing CSV rows as {key(row): row} (insertion-ordered)."""
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            rd = csv.reader(f)
+            next(rd, None)
+            for r in rd:
+                out[key(r)] = r
+    return out
+
+
+def _write(path, header, rows_by_key):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows_by_key.values())
+
+
 def main():
+    """Each measurement merges into the CSV immediately: one tunnel flake
+    or OOM costs only the failed cell, never the completed ones (a full
+    loop here is 30-60 min of remote measurement), and rows not re-measured
+    keep their previous values."""
     from tfimm_tpu.utils.profile import time_model
 
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     flops = flops_table()
     results_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                "results")
+    failures = []
 
-    rows = []
-    for name, bs, target, v100, v100m in (HEADLINE if which in ("both", "headline") else []):
-        rate = time_model(name, target=target, batch_size=bs, nb_batches=5)
-        # Backward+update costs ~3x the forward FLOPs (standard 1:2 fwd:bwd).
-        mult = 3.0 if target == "backprop" else 1.0
-        # flops.csv stores MACs (timm convention); true FLOPs = 2x.
-        rf = (rate * mult * 2 * flops.get(name, 0) / PEAK
-              if name in flops else "")
-        rows.append([name, "bfloat16", bs, target, round(rate, 1),
-                     v100 or "", v100m or "",
-                     round(rf, 3) if rf != "" else ""])
-        print(",".join(map(str, rows[-1])), flush=True)
     if which in ("both", "headline"):
-        _write_headline(results_dir, rows)
+        path = os.path.join(results_dir, "v5e_headline.csv")
+        key = lambda r: (r[0], r[2], r[3])  # noqa: E731
+        rows = _load(path, key)
+        for row in SAM_ROWS:
+            rows.setdefault(key(row), row)
+        for name, bs, target, v100, v100m in HEADLINE:
+            try:
+                rate = time_model(name, target=target, batch_size=bs,
+                                  nb_batches=5)
+            except Exception as e:  # noqa: BLE001 — keep sweeping
+                failures.append((name, target, str(e)[:200]))
+                print(f"FAILED {name} {target}: {str(e)[:200]}", flush=True)
+                continue
+            # Backward+update costs ~3x the forward FLOPs (1:2 fwd:bwd);
+            # flops.csv stores MACs (timm convention); true FLOPs = 2x.
+            mult = 3.0 if target == "backprop" else 1.0
+            rf = (round(rate * mult * 2 * flops[name] / PEAK, 3)
+                  if name in flops else "")
+            row = [name, "bfloat16", str(bs), target, str(round(rate, 1)),
+                   str(v100 or ""), str(v100m or ""), str(rf)]
+            rows[key(row)] = row
+            _write(path, HEADLINE_HEADER, rows)
+            print(",".join(row), flush=True)
 
-    rows = []
-    for name, ibs, bbs in (SWEEP if which in ("both", "sweep") else []):
-        inf = time_model(name, target="inference", batch_size=ibs,
-                         nb_batches=5)
-        bp = time_model(name, target="backprop", batch_size=bbs, nb_batches=3)
-        rows.append([name, "bfloat16", ibs, bbs, round(inf, 1), round(bp, 1)])
-        print(",".join(map(str, rows[-1])), flush=True)
     if which in ("both", "sweep"):
-        with open(os.path.join(results_dir, "v5e_sweep.csv"), "w") as f:
-            w = csv.writer(f)
-            w.writerow(["model", "dtype", "inference_batch_size",
-                        "backprop_batch_size", "inference_img_per_sec",
-                        "backprop_img_per_sec"])
-            w.writerows(rows)
-    print("done", flush=True)
+        path = os.path.join(results_dir, "v5e_sweep.csv")
+        key = lambda r: r[0]  # noqa: E731
+        rows = _load(path, key)
+        for name, ibs, bbs in SWEEP:
+            try:
+                inf = time_model(name, target="inference", batch_size=ibs,
+                                 nb_batches=5)
+                bp = time_model(name, target="backprop", batch_size=bbs,
+                                nb_batches=3)
+            except Exception as e:  # noqa: BLE001 — keep sweeping
+                failures.append((name, "sweep", str(e)[:200]))
+                print(f"FAILED {name}: {str(e)[:200]}", flush=True)
+                continue
+            row = [name, "bfloat16", str(ibs), str(bbs),
+                   str(round(inf, 1)), str(round(bp, 1))]
+            rows[name] = row
+            _write(path, SWEEP_HEADER, rows)
+            print(",".join(row), flush=True)
 
-
-def _write_headline(results_dir, rows):
-    with open(os.path.join(results_dir, "v5e_headline.csv"), "w") as f:
-        w = csv.writer(f)
-        w.writerow(["model", "dtype", "batch_size", "target", "img_per_sec",
-                    "v100_fp32_ref", "v100_mixed_ref", "roofline_fraction"])
-        # keep the SAM rows (measured separately at 1024^2, no re-run here)
-        w.writerows(rows)
-        w.writerow(["sam_vit_b_image_encoder_1024", "bfloat16", 1,
-                    "inference", 37.9, "", "", ""])
-        w.writerow(["sam_vit_b_image_encoder_1024", "bfloat16", 1,
-                    "backprop", 13.6, "", "", ""])
+    if failures:
+        print(f"done with {len(failures)} failed cells: "
+              + "; ".join(f"{n}/{t}" for n, t, _ in failures), flush=True)
+    else:
+        print("done", flush=True)
 
 
 if __name__ == "__main__":

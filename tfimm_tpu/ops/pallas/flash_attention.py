@@ -40,6 +40,12 @@ def flash_attention_or_none(q, k, v, bias=None, scale: Optional[float] = None):
     n, d = q.shape[-2], q.shape[-1]
     if n < 1024 or d > 256:
         return None
+    if k.shape != q.shape or v.shape != q.shape:
+        # Cross-attention (e.g. SAM's two-way decoder: long queries against
+        # short keys) is outside this kernel's self-attention blocking;
+        # decline so callers take the pure-JAX path instead of crashing on
+        # the kernel's same-shape reshape.
+        return None
     from tfimm_tpu.ops.pallas.flash_attention_kernel import flash_attention
 
     return flash_attention(q, k, v, scale=scale)

@@ -55,6 +55,13 @@ def pack_indices(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     row-major over (H//ws, W//ws), matching ``window_partition``; ``shift``
     is the cyclic pre-roll (roll by -shift on both spatial axes).
     """
+    if h % ws or w % ws:
+        # Truncated windows would leave unpack_indices' inverse partially
+        # uninitialized (silent garbage); every entry point shares this
+        # check through the lru_cache.
+        raise ValueError(
+            f"window_gather requires ws to tile the map: got {h}x{w} with "
+            f"ws={ws}")
     n = ws * ws
     n_pad = padded_rows(n)
     nwh, nww = h // ws, w // ws
