@@ -25,8 +25,9 @@ import csv
 import json
 import os
 
+from tfimm_tpu.utils.constants import V5E_BF16_PEAK_FLOPS as V5E_BF16_PEAK
+
 BASELINE_IMG_PER_SEC = 3865.84  # V100 fp32, results/profiling/v100.csv
-V5E_BF16_PEAK = 197e12  # TFLOP/s
 
 
 def _flops_per_image(name, fallback_macs):

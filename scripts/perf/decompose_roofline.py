@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PEAK = 197e12  # v5e bf16 TFLOP/s
+from tfimm_tpu.utils.constants import V5E_BF16_PEAK_FLOPS as PEAK  # noqa: E402
 
 
 def timeit(fn, args, n1=10, n2=60, min_signal=0.4):

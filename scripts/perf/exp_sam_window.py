@@ -17,7 +17,6 @@ default TPU path, to locate the remaining Swin headroom.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
@@ -25,29 +24,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PEAK = 197e12
+from tfimm_tpu.utils.constants import V5E_BF16_PEAK_FLOPS as PEAK  # noqa: E402
 
 
 def slope(fn, n1=5, n2=30):
+    """Seconds per call of ``fn`` via the shared differential timer
+    (utils.profile._slope_time): one jitted fori_loop runner with a scalar
+    readback — the tunnel transfer is ~60 ms plus size — so the timing
+    method (warm-up, retries, diagnostics) has exactly one implementation."""
+    from tfimm_tpu.utils.profile import _slope_time
+
     @jax.jit
     def run(n):
         def body(_, c):
             return fn(c)
         out = jax.lax.fori_loop(0, n, body, fn(None))
-        # Scalar readback only — the tunnel transfer is ~60 ms plus size.
         return jax.tree.leaves(out)[0].astype(jnp.float32).mean()
 
-    def t(n):
-        t0 = time.perf_counter()
-        np.asarray(run(n))
-        return time.perf_counter() - t0
-
-    np.asarray(run(2))
-    for _ in range(3):
-        t1, t2 = t(n1), t(n2)
-        if t2 > t1:
-            return (t2 - t1) / (n2 - n1)
-    raise RuntimeError("non-monotonic timing")
+    return _slope_time(lambda n: run(n), n1, n2)
 
 
 def sam_window_attention():

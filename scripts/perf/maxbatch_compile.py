@@ -8,9 +8,12 @@ v5e HBM budget IS the OOM boundary up to the runtime's reserved slice —
 and it needs no hardware or tunnel.
 
 The compiler itself is the OOM oracle: XLA:TPU fails compilation with
-"Total hbm usage >= 16.0G" when the program cannot fit (and auto-remats
-near the boundary to make it fit when it can — which is why a linear
-memory extrapolation UNDERestimates the true max). Method per
+"Ran out of memory in memory space hbm. Used <x>G of 15.75G hbm" when the
+program cannot fit — the deviceless compile enforces a 15.75 GiB budget
+on its own accounting, i.e. it already derates 0.25 GiB from the 16 GiB
+physical HBM — and auto-remats near the boundary to make it fit when it
+can (which is why a linear memory extrapolation UNDERestimates the true
+max). Method per
 (model, target): fit a linear memory model from two cheap probes to seed
 the search, then gallop/bisect on compile success at multiple-of-8
 granularity, stopping at a ~3% relative gap (each compile costs minutes;

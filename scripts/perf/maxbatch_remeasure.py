@@ -67,8 +67,10 @@ def main():
             w.writerow(row)
         print(row, flush=True)
 
-    with open(tmp) as f:
-        new_rows = {r["model"]: r for r in csv.DictReader(f)}
+    new_rows = {}
+    if os.path.exists(tmp):  # absent when every row failed on a fresh run
+        with open(tmp) as f:
+            new_rows = {r["model"]: r for r in csv.DictReader(f)}
     if len(new_rows) == len(rows):
         with open(args.results_file, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)

@@ -67,6 +67,61 @@ def test_flash_relpos_matches_reference():
                                rtol=1e-5)
 
 
+def _relpos_ref_from_terms(q, k, v, rh_term, rw_term, gh, gw, scale):
+    """Oracle over the kernel's own inputs: softmax(scale*qk + rh + rw) v,
+    with the decomposed bias added over the key grid coordinates."""
+    b, n, d = q.shape
+    attn = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    attn = (attn.reshape(b, n, gh, gw)
+            + rh_term[..., :, None] + rw_term[..., None, :]).reshape(b, n, n)
+    return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(attn, -1), v)
+
+
+@pytest.mark.parametrize("paired", ["0", "1"])
+def test_flash_relpos_paired_numerics_and_grads(paired, monkeypatch):
+    """The head-pair-packed kernels (TFIMM_TPU_RELPOS_PAIRED=1) vs the
+    oracle, forward AND gradients — at d=64 / even B, exactly the gate the
+    paired path requires. The toggle is a static jit argument, so the two
+    parametrizations really trace different kernels (an env read inside
+    the jitted body would silently reuse the first trace)."""
+    monkeypatch.setenv("TFIMM_TPU_RELPOS_PAIRED", paired)
+    from tfimm_tpu.ops.pallas.flash_attention_relpos import (
+        flash_attention_relpos,
+    )
+
+    rng = np.random.default_rng(1)
+    b, gh, gw, d = 4, 8, 8, 64  # b even, 2*d == 128: paired gate holds
+    n = gh * gw
+
+    def mk(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.float32)
+
+    q, k, v, rh, rw = mk(b, n, d), mk(b, n, d), mk(b, n, d), \
+        mk(b, n, gh), mk(b, n, gw)
+    scale = d ** -0.5
+
+    def kernel_fn(q, k, v, rh, rw):
+        return flash_attention_relpos(q, k, v, rh, rw, grid_size=(gh, gw),
+                                      scale=scale, block_q=32, block_k=32,
+                                      interpret=True)
+
+    def ref_fn(q, k, v, rh, rw):
+        return _relpos_ref_from_terms(q, k, v, rh, rw, gh, gw, scale)
+
+    out = kernel_fn(q, k, v, rh, rw)
+    ref = ref_fn(q, k, v, rh, rw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    gk = jax.grad(lambda *a: kernel_fn(*a).sum(), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, rh, rw)
+    gr = jax.grad(lambda *a: ref_fn(*a).sum(), argnums=(0, 1, 2, 3, 4))(
+        q, k, v, rh, rw)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
+                                   rtol=2e-4)
+
+
 def test_fused_convnext_block_matches_reference():
     from tfimm_tpu.architectures.convnext import ConvNeXtBlock
     from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block

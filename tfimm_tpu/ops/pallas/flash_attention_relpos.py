@@ -827,14 +827,11 @@ _relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "scale", "block_q",
-                                             "block_k", "interpret"))
-def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
-                           scale: float, block_q: int = 512,
-                           block_k: int = 512, interpret: bool = False):
-    """q, k, v: (B, N, D) with N = gh*gw; rel terms (B, N, gh)/(B, N, gw);
-    bias applied to *unscaled-q* scores exactly like add_decomposed_rel_pos
-    (callers pre-scale q and the rel terms consistently). Differentiable:
-    custom VJP with Pallas backward kernels (incl. rel-term gradients)."""
+                                             "block_k", "interpret",
+                                             "paired"))
+def _flash_attention_relpos_jit(q, k, v, rel_h_term, rel_w_term, *, grid_size,
+                                scale: float, block_q: int, block_k: int,
+                                interpret: bool, paired: bool):
     gh, gw = grid_size
     b, n, d = q.shape
     assert n == gh * gw and n % block_k == 0 and n % block_q == 0
@@ -842,7 +839,7 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
 
     # The q scaling lives outside the custom-VJP core so autodiff chains it.
     qs = q * jnp.asarray(scale, q.dtype)
-    if _paired_enabled() and b % 2 == 0 and 2 * d == LANES:
+    if paired:
         # Head-pair lane packing: pack/unpack are plain reshapes outside the
         # custom-VJP core, so autodiff chains them around the paired kernels.
         rh2 = rel_h_term.reshape(b // 2, 2, n, gh)
@@ -853,3 +850,24 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
         return _unpack_pairs(out2)
     return _relpos_core(qs, k, v, rel_h_term, rel_w_term, gw, block_q,
                         block_k, interpret)
+
+
+def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
+                           scale: float, block_q: int = 512,
+                           block_k: int = 512, interpret: bool = False):
+    """q, k, v: (B, N, D) with N = gh*gw; rel terms (B, N, gh)/(B, N, gw);
+    bias applied to *unscaled-q* scores exactly like add_decomposed_rel_pos
+    (callers pre-scale q and the rel terms consistently). Differentiable:
+    custom VJP with Pallas backward kernels (incl. rel-term gradients).
+
+    The TFIMM_TPU_RELPOS_PAIRED toggle is resolved HERE, outside the jit,
+    and passed as a static argument: an env read inside the jitted body is
+    baked into the first trace and silently ignores later in-process
+    toggles (which made compile_probe's and the lowering tests' paired
+    passes no-ops against the cached unpaired trace)."""
+    b, _, d = q.shape
+    paired = _paired_enabled() and b % 2 == 0 and 2 * d == LANES
+    return _flash_attention_relpos_jit(
+        q, k, v, rel_h_term, rel_w_term, grid_size=tuple(grid_size),
+        scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        paired=paired)

@@ -153,7 +153,12 @@ def find_max_batch_size(
 
     _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory",
                     "exceeds the amount")
-    _INFRA_MARKERS = ("INTERNAL", "remote_compile", "HTTP", "DEADLINE")
+    # "differential timing failed" is _slope_time's unstable-transport
+    # RuntimeError: a tunnel hiccup, not a model property — classify it as
+    # infra so one bad timing episode degrades instead of aborting a
+    # multi-hour search.
+    _INFRA_MARKERS = ("INTERNAL", "remote_compile", "HTTP", "DEADLINE",
+                      "differential timing failed")
 
     def try_batch(bs: int, _retried=False):
         try:
