@@ -201,3 +201,43 @@ def test_vit_fused_mha_integration(monkeypatch):
         out = attn(p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_window_mha_grad_clamp_saturation():
+    """Logits past the softmax clamp: the kernel VJP must be the exact
+    Jacobian of the CLAMPED forward (zero cotangent on saturated entries),
+    which autodiff of the clamp-then-softmax oracle computes through
+    jnp.minimum. The oracle uses jax.nn.softmax (max-subtracted) on the
+    clamped scores: same function as the kernel's nomax form, but with a
+    numerically stable AD — naive autodiff of e/sum(e) overflows f32 at
+    e ~ exp(80) (sum^2 ~ 1e70) and returns garbage cotangents, which
+    finite differences confirm are wrong. Scores are driven past
+    SOFTMAX_CLAMP=80 by scaling q."""
+    bw, n, c, h = 4, 8, 64, 2
+    q, k, v, bias, _ = _make(bw, n, c, h, 0, seed=3)
+    q = q * 40.0  # raw scores now span well past the clamp
+    scale = (c // h) ** -0.5
+
+    def clamped_ref(q, k, v, bias):
+        d = c // h
+        qh, kh, vh = (t.reshape(bw, n, h, d).transpose(0, 2, 1, 3)
+                      for t in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh) + bias[None]
+        p = jax.nn.softmax(jnp.minimum(s, 80.0), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+
+    # Sanity: the test really exercises saturation.
+    d = c // h
+    qh, kh = (t.reshape(bw, n, h, d).transpose(0, 2, 1, 3) for t in (q, k))
+    raw = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh) + bias[None]
+    assert float(jnp.max(raw)) > 80.0
+
+    gk = jax.grad(lambda *a: window_mha_diff(*a, None, h, scale, True)
+                  .astype(jnp.float32).sum(), argnums=(0, 1, 2, 3))(
+        q, k, v, bias)
+    gr = jax.grad(lambda *a: clamped_ref(*a).astype(jnp.float32).sum(),
+                  argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

@@ -22,8 +22,8 @@ from tfimm_tpu.ops.stochastic import dropout
 __all__ = ["scaled_dot_product_attention", "MultiHeadAttention"]
 
 
-def _reference_attention(q, k, v, bias=None, scale=None):
-    """Pure-JAX attention. q, k, v: (..., N, D). bias broadcastable to scores.
+def _attention_weights(q, k, bias=None, scale=None):
+    """Softmax attention weights (f32). q, k: (..., N, D).
 
     The (N, N) score matrix is *stored* in the compute dtype (bf16 scores are
     already quantized at the matmul output, so this loses nothing and halves
@@ -35,8 +35,13 @@ def _reference_attention(q, k, v, bias=None, scale=None):
                         q * jnp.asarray(scale, q.dtype), k)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    scores32 = scores.astype(jnp.float32)
-    weights = jax.nn.softmax(scores32, axis=-1)
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+
+
+def _reference_attention(q, k, v, bias=None, scale=None):
+    """Pure-JAX attention. q, k, v: (..., N, D). bias broadcastable to
+    scores. See :func:`_attention_weights` for the score-dtype policy."""
+    weights = _attention_weights(q, k, bias=bias, scale=scale)
     out = jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
     return out, weights
 
@@ -112,15 +117,16 @@ class MultiHeadAttention:
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         if want_weights or (ctx.training and self.attn_drop_rate > 0.0):
-            out, weights = scaled_dot_product_attention(
-                q, k, v, scale=self.scale, return_weights=True
-            )
+            # Weights-explicit path (feature capture and/or attention
+            # dropout): ONE P@V einsum, after the capture and the drop —
+            # going through return_weights=True here would compute the
+            # attention output a second time just to discard it.
+            weights = _attention_weights(q, k, scale=self.scale)
             if want_weights:
                 capture_feature(feature_name, weights)
             if ctx.training and self.attn_drop_rate > 0.0:
-                # Recompute with dropped weights (rare training-only path).
                 weights = dropout(weights, self.attn_drop_rate)
-                out = jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v)
+            out = jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v)
         else:
             out = scaled_dot_product_attention(q, k, v, scale=self.scale)
 

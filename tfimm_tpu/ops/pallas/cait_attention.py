@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tfimm_tpu.ops.pallas.dispatch import softmax_nomax, interpret_forced, on_tpu
+from tfimm_tpu.ops.pallas.dispatch import (softmax_nomax,
+    softmax_clamp_grad_mask, interpret_forced, on_tpu)
 
 __all__ = ["talking_head_attention", "talking_head_attention_or_none"]
 
@@ -304,7 +305,7 @@ def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
             dp = jax.lax.dot_general(
                 do, v32 * bg, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                      # (N, N)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = softmax_clamp_grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
             t = jax.lax.dot_general(
                 ds, k32, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                      # (N, D)
@@ -378,7 +379,7 @@ def _thattn_bwd_call(qkv, w_l, b_l, w_w, b_w, dout, nb_heads, scale,
             dp = jax.lax.dot_general(
                 doc, v32, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                      # (N', N)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = softmax_clamp_grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
             t = jax.lax.dot_general(
                 ds, k32, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                      # (N', D)

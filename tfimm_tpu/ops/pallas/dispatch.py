@@ -12,7 +12,10 @@ import os
 
 import jax
 
-__all__ = ["on_tpu", "interpret_forced", "softmax_nomax"]
+__all__ = ["on_tpu", "interpret_forced", "softmax_nomax",
+           "softmax_clamp_grad_mask", "SOFTMAX_CLAMP"]
+
+SOFTMAX_CLAMP = 80.0
 
 
 def on_tpu() -> bool:
@@ -38,14 +41,34 @@ def softmax_nomax(s):
     clamp. The max-reduce + broadcast-subtract pass costs ~0.1 ms/layer at
     ViT-B shapes (measured, scripts/perf/exp_fused_mha4.py); f32 exp only
     overflows past 88, and trained-model attention logits sit orders of
-    magnitude below the clamp, so exp(min(s, 80)) equals softmax whenever
-    max(s) <= 80 and saturates gracefully (no NaN/Inf) otherwise. Additive
+    magnitude below the clamp, so exp(min(s, C)) equals softmax whenever
+    max(s) <= C and saturates gracefully (no NaN/Inf) otherwise. Additive
     mask values (-1e9 / -100) pass through: exp(-1e9) = 0 exactly.
-    Backward kernels recompute p through the same path, keeping VJPs
-    consistent. The pure-JAX twins keep jax.nn.softmax so the XLA paths
-    match the reference bit-for-bit.
+    Backward kernels recompute p through the same path AND zero the score
+    cotangent on clamped entries (softmax_clamp_grad_mask), so the VJP is
+    the exact Jacobian of this function, saturation included.
+
+    Domain note (no-max underflow): a row whose EVERY logit is below ~-87
+    would flush all exps to zero and 0/0-NaN. Unreachable for the
+    self-attention rows these kernels serve — the unmasked diagonal entry
+    is q.q*scale >= 0 (ViT/Swin/SAM windows), and CaiT's head-mixed
+    diagonal sum sits orders of magnitude inside the exp range for any
+    trained mix — but a caller feeding arbitrary cross-scores must
+    guarantee max(s) > -87 per row. The pure-JAX twins keep
+    jax.nn.softmax so the XLA paths match the reference bit-for-bit.
     """
     import jax.numpy as jnp
 
-    e = jnp.exp(jnp.minimum(s, 80.0))
+    e = jnp.exp(jnp.minimum(s, SOFTMAX_CLAMP))
     return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def softmax_clamp_grad_mask(s, ds):
+    """Exact-VJP companion to :func:`softmax_nomax`: where the forward
+    clamp saturated (s > SOFTMAX_CLAMP) the true derivative wrt s is zero,
+    so the backward kernels must zero the score cotangent there — applying
+    the unclamped softmax Jacobian to clamped entries silently mismatches
+    the computed function the moment a logit crosses the clamp."""
+    import jax.numpy as jnp
+
+    return jnp.where(s < SOFTMAX_CLAMP, ds, 0.0)

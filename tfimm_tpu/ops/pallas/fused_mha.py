@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tfimm_tpu.ops.pallas.dispatch import softmax_nomax as _softmax_nomax
+from tfimm_tpu.ops.pallas.dispatch import softmax_clamp_grad_mask as _grad_mask
 
 __all__ = ["fused_mha", "fused_mha_or_none"]
 
@@ -200,7 +201,7 @@ def _pair_attention_bwd(qp, kp, vp, gp, scale):
         dp = jax.lax.dot_general(gm, vm,
                                  dimension_numbers=(((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = _grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
         dq_h = scale * jax.lax.dot_general(
             ds, km, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -247,7 +248,7 @@ def _pair_attention_bwd_stacked(qp, kp, vp, gp, scale):
     dp = jax.lax.dot_general(gc, vf,
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = _grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
     dq_cat = scale * jax.lax.dot_general(
         ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

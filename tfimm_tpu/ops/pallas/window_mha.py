@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tfimm_tpu.ops.pallas.dispatch import softmax_nomax
+from tfimm_tpu.ops.pallas.dispatch import softmax_nomax, softmax_clamp_grad_mask
 from tfimm_tpu.ops.window_gather import padded_rows
 
 __all__ = ["window_mha", "window_mha_or_none"]
@@ -307,7 +307,7 @@ def _group_attention_bwd(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
         dp = jax.lax.dot_general(
             gm, vm, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = softmax_clamp_grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
         ds_heads.append((h, ds))
         dq_h = scale * jax.lax.dot_general(
             ds, km, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -351,7 +351,7 @@ def _group_attention_bwd_stacked(qg, kg, vg, gg, b_ref, mw, off: int, d: int,
     dp = jax.lax.dot_general(gc, vf,
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = softmax_clamp_grad_mask(s, p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
     dq_cat = scale * jax.lax.dot_general(
         ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -40,7 +40,19 @@ def initialize(coordinator_address: Optional[str] = None,
     initialize a single-process backend and silently defeat the whole call.
     """
     global _initialized
-    if _initialized or coordinator_address is None:
+    if _initialized:
+        return
+    if coordinator_address is None:
+        if num_processes is not None or process_id is not None:
+            # Explicit-but-incomplete wiring must fail loudly: silently
+            # skipping jax.distributed here would launch N independent
+            # single-process runs — every host thinks it is primary,
+            # checkpoints overwrite each other, local_batch_size divides
+            # by the wrong process_count.
+            raise ValueError(
+                "initialize(num_processes=..., process_id=...) requires "
+                "coordinator_address; omit all three for single-process "
+                "or autodetected TPU-pod runs")
         return
     try:
         jax.distributed.initialize(

@@ -77,7 +77,13 @@ def pipeline_apply(block_fn: Callable, stacked_params, x, *, mesh: Mesh,
     b = x.shape[0]
     if b % m:
         raise ValueError(f"batch {b} not divisible by nb_microbatches {m}")
-    leading = jax.tree.leaves(stacked_params)[0].shape[0]
+    leadings = {leaf.shape[0] if leaf.ndim else None
+                for leaf in jax.tree.leaves(stacked_params)}
+    if len(leadings) != 1 or None in leadings:
+        raise ValueError(
+            f"stacked_params leaves must share one stacked leading dim; "
+            f"got leading dims {sorted(map(str, leadings))}")
+    (leading,) = leadings
     if leading % s:
         raise ValueError(f"{leading} blocks not divisible by {s} pipeline "
                          f"stages")
