@@ -64,9 +64,12 @@ def _stacked_default() -> bool:
     matmuls is the lever. Stacking a chunk of heads' lane-scaled queries
     along sublanes turns the loop into 2 matmuls per chunk forward and 6
     backward (vs 2/5 PER HEAD), same useful FLOPs (+ one PV-recompute
-    matmul in the backward for the dww reduction). Off until TPU-measured.
+    matmul in the backward for the dww reduction). Default-on; measured on
+    v5e (results/stacked_experiment.csv): cait_s24 inference 4860 -> 5279
+    img/s (+8.6%), backprop 1190 -> 1346 (+13.1%).
+    TFIMM_TPU_CAIT_STACKED=0 restores the per-head bodies.
     """
-    return os.environ.get("TFIMM_TPU_CAIT_STACKED", "0") == "1"
+    return os.environ.get("TFIMM_TPU_CAIT_STACKED", "1") == "1"
 
 
 def _sublane_pad(n: int) -> int:

@@ -46,13 +46,16 @@ __all__ = ["fused_mha", "fused_mha_or_none"]
 
 
 def _stacked_default() -> bool:
-    """Opt-in for the sublane-stacked pair bodies (see _pair_attention_stacked).
+    """Default-on sublane-stacked pair bodies (see _pair_attention_stacked).
 
-    Same FLOPs, half the matmul instructions per pair — candidate for the
-    per-pair MXU-pipeline serialization identified by the published roofline
-    decomposition (results/README.md). Off until measured on hardware.
+    Same FLOPs, half the matmul instructions per pair — attacks the per-pair
+    MXU-pipeline serialization identified by the published roofline
+    decomposition (results/README.md). Measured on v5e (bs128/64 bf16,
+    results/stacked_experiment.csv): ViT-B inference 4517 -> 4621 img/s
+    (+2.3%), backprop 1256 -> 1290 (+2.7%). TFIMM_TPU_MHA_STACKED=0 restores
+    the per-pair bodies.
     """
-    return os.environ.get("TFIMM_TPU_MHA_STACKED", "0") == "1"
+    return os.environ.get("TFIMM_TPU_MHA_STACKED", "1") == "1"
 
 # VMEM budget for one program: 4 blocks of (N, 3D|D) in the io dtype plus two
 # f32 score matrices. Keep well under the ~16 MB/core VMEM.

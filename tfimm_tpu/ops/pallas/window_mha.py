@@ -166,18 +166,21 @@ def _group_attention(qg, kg, vg, b_ref, mw, off: int, d: int, scale: float):
 
 
 def _stacked_enabled(n: int) -> bool:
-    """Opt-in sublane-stacked group bodies (TFIMM_TPU_WINDOW_STACKED=1).
+    """Default-on sublane-stacked group bodies (TFIMM_TPU_WINDOW_STACKED=0
+    restores the per-head bodies).
 
     Stacks the J masked per-head queries of a lane group along rows so each
     group runs 2 matmuls instead of 2J (5 vs 5J in the backward) with J-fold
     longer M-streams — same FLOPs, unlike g-packing whose cross-window mask
     FLOPs grow as g². Requires n % 8 == 0 (f32 sublane tile) so the per-head
     row blocks of the stacked score/output slices stay aligned; g=2 packing
-    already provides that at Swin shapes (52 -> 104). Off until measured.
+    already provides that at Swin shapes (52 -> 104). Measured on v5e
+    (results/stacked_experiment.csv): swin_tiny inference 6555 -> 7424 img/s
+    (+13.3%), backprop 1223 -> 1259 (+2.9%).
     """
     import os
 
-    return (os.environ.get("TFIMM_TPU_WINDOW_STACKED", "0") == "1"
+    return (os.environ.get("TFIMM_TPU_WINDOW_STACKED", "1") == "1"
             and n % 8 == 0)
 
 
