@@ -1,4 +1,4 @@
-from tfimm_tpu.parallel.mesh import create_mesh  # noqa: F401
+from tfimm_tpu.parallel.mesh import create_mesh, parse_mesh_spec  # noqa: F401
 from tfimm_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     spatial_sharding,

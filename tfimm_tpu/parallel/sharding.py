@@ -56,7 +56,9 @@ def _divisible(shape, spec, mesh) -> bool:
     for dim, axis in zip(shape, spec):
         if axis is None:
             continue
-        if dim % mesh.shape[axis] != 0:
+        # A mesh without the axis (e.g. dp-only "data" mesh vs the TP rules'
+        # "model") can't take the rule: fall back to replication.
+        if axis not in mesh.shape or dim % mesh.shape[axis] != 0:
             return False
     return True
 

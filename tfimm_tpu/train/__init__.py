@@ -18,6 +18,8 @@ from tfimm_tpu.train.datasets import (  # noqa: F401
     GrainDatasetConfig,
     ImageFolderConfig,
     ImageFolderDataset,
+    SyntheticDataset,
+    SyntheticDatasetConfig,
     TFDSConfig,
     TFDSWrapper,
 )

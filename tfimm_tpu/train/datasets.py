@@ -18,7 +18,8 @@ import numpy as np
 from tfimm_tpu.train.registry import cfg_serializable
 
 __all__ = ["TFDSConfig", "TFDSWrapper", "ArrayDatasetConfig", "ArrayDataset",
-           "ImageFolderConfig", "ImageFolderDataset"]
+           "ImageFolderConfig", "ImageFolderDataset",
+           "SyntheticDatasetConfig", "SyntheticDataset"]
 
 
 @dataclass
@@ -245,3 +246,44 @@ class ArrayDataset:
                     method="bilinear",
                 ))
             yield images, self.labels[batch]
+
+
+@dataclass
+class SyntheticDatasetConfig:
+    batch_size: int = 8
+    nb_samples: int = 64
+    input_size: tuple = (32, 32)
+    in_channels: int = 3
+    nb_classes: int = 10
+    seed: int = 0
+
+
+@cfg_serializable
+class SyntheticDataset:
+    """Random (image, label) batches generated from the config alone.
+
+    Lets ``run_local.py`` exercise the full training path — including mesh
+    sharding (``ExperimentConfig.mesh``) — with zero user-authored Python:
+    every field is reachable from the CLI / YAML config. The set is small
+    and fixed (seeded), so smoke-training can memorize it."""
+
+    cfg_class = SyntheticDatasetConfig
+
+    def __init__(self, cfg: SyntheticDatasetConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        n = cfg.nb_samples
+        self.images = rng.uniform(
+            0.0, 255.0,
+            size=(n, *tuple(cfg.input_size), cfg.in_channels),
+        ).astype(np.float32)
+        self.labels = rng.integers(0, cfg.nb_classes, size=(n,))
+
+    def __len__(self):
+        return self.cfg.nb_samples // self.cfg.batch_size
+
+    def __iter__(self):
+        bs = self.cfg.batch_size
+        for i in range(len(self)):
+            yield (self.images[i * bs:(i + 1) * bs],
+                   self.labels[i * bs:(i + 1) * bs])

@@ -41,6 +41,16 @@ class ClassificationConfig:
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
     mixup_prob: float = 1.0
+    # Parameter layout when a mesh is supplied (ExperimentConfig.mesh):
+    #   "tp"         Megatron TP over "model" where rules match, else
+    #                replicated (pure dp when the model axis is 1)
+    #   "fsdp"       ZeRO-3: large leaves + Adam moments sharded over "data",
+    #                on top of the TP rules
+    #   "replicated" every param on every chip (plain data parallel)
+    param_sharding: str = "tp"
+    # FSDP only: leaves below this many elements stay unsharded (an
+    # all-gather on a LayerNorm bias costs more than it saves).
+    fsdp_min_leaf_size: int = 2 ** 14
     # Set by the experiment runner
     timekeeping: Any = None
     timekeeping_class: str = ""
@@ -63,7 +73,28 @@ class ClassificationProblem(ProblemBase):
         )
         self.tx, self.lr_schedule = opt_factory()
         self.params = self.model.params
-        self.opt_state = self.tx.init(self.params)
+
+        # Mesh wiring: place params (and below, optimizer state / EMA) into
+        # their sharded layout up front so the whole lifecycle — training,
+        # eval, orbax save/restore — runs on sharded arrays.
+        p_shard = None
+        if self.mesh is not None:
+            p_shard = self._make_param_sharding(cfg, self.mesh)
+            self.params = jax.device_put(self.params, p_shard)
+            self.model.params = self.params
+        self._param_shard = p_shard
+
+        opt_shard = None
+        if self.mesh is not None:
+            from tfimm_tpu.parallel import opt_state_sharding
+
+            opt_shard = opt_state_sharding(self.tx, self.params, p_shard,
+                                           self.mesh)
+            self.opt_state = jax.jit(self.tx.init,
+                                     out_shardings=opt_shard)(self.params)
+        else:
+            self.opt_state = self.tx.init(self.params)
+        self._opt_shard = opt_shard
         self.epoch = 0
         self._rng = jax.random.PRNGKey(0)
 
@@ -104,14 +135,42 @@ class ClassificationProblem(ProblemBase):
 
         # Reuse the sharded-step machinery with our preprocessing baked in.
         shim = _ModelShim(wrapped_model_apply, model)
+        shim.params = self.params
         self._train_step = make_train_step(
             shim, self.tx, mesh=self.mesh, loss_fn=loss_fn,
-            weight_decay=cfg.weight_decay,
+            weight_decay=cfg.weight_decay, param_sharding=p_shard,
         )
-        self._eval_step = jax.jit(
-            lambda params, images: model.apply(params, preprocessing(images),
-                                               training=False)
+
+        def eval_fn(params, images):
+            return model.apply(params, preprocessing(images), training=False)
+
+        if self.mesh is None:
+            self._eval_step = jax.jit(eval_fn)
+        else:
+            from tfimm_tpu.parallel import batch_sharding
+
+            self._eval_step = jax.jit(
+                eval_fn,
+                in_shardings=(p_shard, batch_sharding(self.mesh)),
+            )
+
+    def _make_param_sharding(self, cfg, mesh):
+        from tfimm_tpu.parallel import (
+            fsdp_param_sharding,
+            infer_param_sharding,
+            replicated,
         )
+
+        kind = cfg.param_sharding or "tp"
+        if kind == "fsdp":
+            return fsdp_param_sharding(self.model.params, mesh,
+                                       min_leaf_size=cfg.fsdp_min_leaf_size)
+        if kind == "tp":
+            return infer_param_sharding(self.model.params, mesh)
+        if kind == "replicated":
+            return jax.tree.map(lambda _: replicated(mesh), self.model.params)
+        raise ValueError(
+            f"param_sharding must be tp|fsdp|replicated, got {kind!r}")
 
     # -- ProblemBase ------------------------------------------------------------
     def train_step(self, data, it: int):
@@ -158,13 +217,24 @@ class ClassificationProblem(ProblemBase):
 
     def set_state(self, state, model_only: bool = False):
         self.params = state["params"]
+        if self._param_shard is not None:
+            # Re-pin onto the mesh layout: a no-op for a checkpoint saved
+            # under this sharding, a reshard for warm starts from a
+            # single-device (or differently-sharded) checkpoint.
+            self.params = jax.device_put(self.params, self._param_shard)
         self.model.params = self.params
         if self.ema_params is not None:
             # Warm starts reset the average to the restored weights.
             self.ema_params = state.get("ema_params", self.params) \
                 if not model_only else self.params
+            if self._param_shard is not None:
+                self.ema_params = jax.device_put(self.ema_params,
+                                                 self._param_shard)
         if not model_only:
             self.opt_state = state["opt_state"]
+            if self._opt_shard is not None:
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self._opt_shard)
             self.epoch = int(state["epoch"])
 
     def start_epoch(self):

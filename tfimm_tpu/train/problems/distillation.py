@@ -37,6 +37,7 @@ class DistillationProblem(ProblemBase):
     def __init__(self, cfg: DistillationConfig, timekeeping=None, mesh=None):
         self.cfg = cfg
         self.timekeeping = timekeeping or cfg.timekeeping
+        self.mesh = mesh
 
         self.teacher, self.teacher_preprocessing = get_class(
             cfg.teacher_class)(cfg=cfg.teacher)()
@@ -48,7 +49,30 @@ class DistillationProblem(ProblemBase):
         )
         self.tx, self.lr_schedule = opt_factory()
         self.params = self.student.params
-        self.opt_state = self.tx.init(self.params)
+
+        # Mesh wiring: student params take the TP rules (replicated for a
+        # dp-only mesh), the frozen teacher is replicated, batch is sharded
+        # over "data" — same recipe as ClassificationProblem.
+        p_shard = t_shard = opt_shard = None
+        if mesh is not None:
+            from tfimm_tpu.parallel import (
+                infer_param_sharding,
+                opt_state_sharding,
+                replicated,
+            )
+
+            p_shard = infer_param_sharding(self.params, mesh)
+            self.params = jax.device_put(self.params, p_shard)
+            self.student.params = self.params
+            t_shard = jax.tree.map(lambda _: replicated(mesh),
+                                   self.teacher.params)
+            self.teacher.params = jax.device_put(self.teacher.params, t_shard)
+            opt_shard = opt_state_sharding(self.tx, self.params, p_shard, mesh)
+            self.opt_state = jax.jit(self.tx.init,
+                                     out_shardings=opt_shard)(self.params)
+        else:
+            self.opt_state = self.tx.init(self.params)
+        self._param_shard = p_shard
         self.epoch = 0
         self._rng = jax.random.PRNGKey(0)
 
@@ -81,7 +105,18 @@ class DistillationProblem(ProblemBase):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._step = jax.jit(step)
+        if mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from tfimm_tpu.parallel import batch_sharding, replicated
+
+            b_shard = batch_sharding(mesh)
+            self._step = jax.jit(
+                step,
+                in_shardings=(p_shard, opt_shard, b_shard, t_shard,
+                              replicated(mesh)),
+                out_shardings=(p_shard, opt_shard, replicated(mesh)),
+            )
 
     def train_step(self, data, it: int):
         images = data[0] if isinstance(data, (tuple, list)) else data
@@ -106,6 +141,8 @@ class DistillationProblem(ProblemBase):
 
     def set_state(self, state, model_only: bool = False):
         self.params = state["params"]
+        if self._param_shard is not None:
+            self.params = jax.device_put(self.params, self._param_shard)
         self.student.params = self.params
         if not model_only:
             self.opt_state = state["opt_state"]

@@ -30,6 +30,11 @@ class ExperimentConfig:
     val_dataset_class: str = ""
     timekeeping: Any = None
     timekeeping_class: str = "Timekeeping"
+    # Device mesh spec, e.g. "data:8", "data:4,model:2", or "data" (= all
+    # devices, pure data parallel). Empty = single-device. The problem's
+    # train/eval steps are jit-sharded over this mesh (parallel/step.py);
+    # see ClassificationConfig.param_sharding for the parameter layout.
+    mesh: str = ""
     log_level: str = "INFO"
     # Weights & Biases (optional)
     log_wandb: bool = False
@@ -74,13 +79,23 @@ def run(cfg=None, parse_cmdline_args: bool = True):
     if ckpt_dir:
         dump_config(cfg, os.path.join(ckpt_dir, "config.yaml"))
 
+    mesh = None
+    if cfg.mesh:
+        from tfimm_tpu.parallel import parse_mesh_spec
+
+        mesh = parse_mesh_spec(cfg.mesh)
+        logging.info(f"Device mesh: {dict(mesh.shape)} "
+                     f"({mesh.devices.size} devices)")
+
     timekeeping = cfg.timekeeping
     train_ds = (get_class(cfg.train_dataset_class)(cfg=cfg.train_dataset)
                 if cfg.train_dataset_class else None)
     val_ds = (get_class(cfg.val_dataset_class)(cfg=cfg.val_dataset)
               if cfg.val_dataset_class else None)
-    problem = get_class(cfg.problem_class)(cfg=cfg.problem,
-                                           timekeeping=timekeeping)
+    problem_kwargs = {"cfg": cfg.problem, "timekeeping": timekeeping}
+    if mesh is not None:
+        problem_kwargs["mesh"] = mesh
+    problem = get_class(cfg.problem_class)(**problem_kwargs)
     trainer = get_class(cfg.trainer_class)(
         problem=problem, train_ds=train_ds, val_ds=val_ds,
         timekeeping=timekeeping, cfg=cfg.trainer, log_wandb=cfg.log_wandb,
