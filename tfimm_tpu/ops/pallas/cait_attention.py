@@ -56,7 +56,8 @@ _VMEM_LIMIT_BYTES = 10 * 2 ** 20
 
 
 def _stacked_default() -> bool:
-    """Opt-in sublane-stacked head bodies (TFIMM_TPU_CAIT_STACKED=1).
+    """Default-on sublane-stacked head bodies (TFIMM_TPU_CAIT_STACKED=0
+    opts out, restoring the per-head bodies).
 
     The published CaiT-S24 backprop decomposition (results/README.md) puts
     the talking-head kernel f+b at 59% of the whole step budget with every

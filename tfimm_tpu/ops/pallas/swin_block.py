@@ -101,10 +101,13 @@ def _pick_wb(bw_pairs: int, nb_heads: int, nb_win_pairs: int,
 
 
 def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
-                     scale: float, interpret: bool = False):
+                     scale: float, interpret: bool = False,
+                     stacked: "bool | None" = None):
     """x: (BW, N, C) window-partitioned tokens (pre-LN). params: dict with
     wq/wk/wv/bq/bk/bv/wp/bp/w1/b1/w2/b2/g1/be1/g2/be2 (all 2D, (1, ...) for
     vectors). bias: (H, N, N); mask: (nW, N, N) or None. Returns (BW, N, C).
+    ``stacked=None`` resolves via ``_stacked_enabled``; an explicit False
+    forces the per-head group bodies (the VMEM-degrade path).
     """
     bw0, n0, c = x.shape
     d = c // nb_heads
@@ -119,6 +122,8 @@ def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
     nb_winp = max(1, nb_win // 2)
     wb = _pick_wb(bw, nb_heads, nb_winp, mask is not None)
     grid = (bw // wb,)
+    use_stacked = (_stacked_enabled(n2) if stacked is None
+                   else (stacked and n2 % 8 == 0))
 
     io_spec = pl.BlockSpec((wb, n2, c), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -169,10 +174,12 @@ def swin_block_fused(x, params, bias, mask=None, *, nb_heads: int,
 
         # Attention per window pair x lane group (window_mha's masked-head
         # trick: full-lane contraction, per-head lane masks, bias + mask on
-        # the f32 scores in VMEM). TFIMM_TPU_WINDOW_STACKED=1 swaps in the
-        # sublane-stacked group body (n2 = 2*52 is 8-aligned at Swin shapes).
-        group_fn = (_group_attention_stacked if _stacked_enabled(n2)
-                    else _group_attention)
+        # the f32 scores in VMEM). The sublane-stacked group body is the
+        # default (n2 = 2*52 is 8-aligned at Swin shapes);
+        # TFIMM_TPU_WINDOW_STACKED=0 opts out, and the dispatcher forces
+        # stacked=False when only the per-head budget fits VMEM.
+        group_fn = _group_attention_stacked if use_stacked \
+            else _group_attention
         row_blocks = []
         for w in range(wb):
             rows = slice(w * n2, (w + 1) * n2)
@@ -229,7 +236,11 @@ def _fused_gate(bw, n, c, nb_heads, nb_win, has_mask) -> bool:
     return True
 
 
-def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
+def _vmem_plan(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype):
+    """(fits, stacked): does a window-pair chunk fit VMEM, and with which
+    group body? ``stacked`` is None (auto: the stacked budget fits) or False
+    (degrade to the per-head bodies — same recipe as fused_mha — instead of
+    dropping the fused kernel)."""
     nb_winp = max(1, nb_win // 2)
     wb = _pick_wb(bw // 2, nb_heads, nb_winp, has_mask)
     itemsize = jnp.dtype(dtype).itemsize
@@ -242,11 +253,20 @@ def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
         + nb_heads * 4 * n * n * 4             # packed bias
         + (wb * 4 * n * n * 4 if has_mask else 0)
     )
+    stacked = None
     if _stacked_enabled(2 * n):
         # Stacked group bodies keep J = min(128, C)//d score-sized blocks
         # (s/p) live at once instead of one (d = lane-group head width).
-        vmem += 2 * (min(128, c) // (c // nb_heads)) * 4 * n * n * 4
-    return vmem <= _VMEM_LIMIT_BYTES
+        extra = 2 * (min(128, c) // (c // nb_heads)) * 4 * n * n * 4
+        if vmem + extra <= _VMEM_LIMIT_BYTES:
+            vmem += extra
+        else:
+            stacked = False
+    return vmem <= _VMEM_LIMIT_BYTES, stacked
+
+
+def _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype) -> bool:
+    return _vmem_plan(bw, n, c, hidden, nb_heads, nb_win, has_mask, dtype)[0]
 
 
 def _prep_params(p, c, dt):
@@ -320,13 +340,14 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
         x_windows = jnp.pad(x_windows, ((0, 0), (0, n - n0), (0, 0)))
         bias, mask = _pad_bias_mask(bias, mask, n0, n, nb_heads)
     hidden = p["mlp"]["fc1"]["kernel"].shape[1]
-    if not _vmem_ok(bw, n, c, hidden, nb_heads, nb_win, mask is not None,
-                    x_windows.dtype):
+    fits, stacked = _vmem_plan(bw, n, c, hidden, nb_heads, nb_win,
+                               mask is not None, x_windows.dtype)
+    if not fits:
         return None
 
     params = _prep_params(p, c, x_windows.dtype)
     out = swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
-                          interpret)
+                          interpret, stacked)
     return out[:, :n0, :] if n != n0 else out
 
 
@@ -364,11 +385,13 @@ def swin_block_padded_or_none(p, x_padded, bias, mask, *, nb_heads: int,
     if not padded_block_applies(bw, n, c, nb_heads, nb_win, mask is not None,
                                 hidden, x_padded.dtype):
         return None
+    stacked = _vmem_plan(bw, n, c, hidden, nb_heads, nb_win, mask is not None,
+                         x_padded.dtype)[1]
     if n != n_real:
         bias, mask = _pad_bias_mask(bias, mask, n_real, n, nb_heads)
     params = _prep_params(p, c, x_padded.dtype)
     return swin_block_diff(x_padded, params, bias, mask, nb_heads, scale,
-                           interpret_forced())
+                           interpret_forced(), stacked)
 
 
 def _reference_block(x, params, bias, mask, nb_heads, scale):
@@ -422,13 +445,15 @@ def _reference_block(x, params, bias, mask, nb_heads, scale):
     return (x2 + m2).astype(dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def swin_block_diff(x, params, bias, mask, nb_heads, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def swin_block_diff(x, params, bias, mask, nb_heads, scale, interpret,
+                    stacked=None):
     return swin_block_fused(x, params, bias, mask, nb_heads=nb_heads,
-                            scale=scale, interpret=interpret)
+                            scale=scale, interpret=interpret, stacked=stacked)
 
 
-def _swin_block_fwd(x, params, bias, mask, nb_heads, scale, interpret):
+def _swin_block_fwd(x, params, bias, mask, nb_heads, scale, interpret,
+                    stacked):
     # Under differentiation, run the unfused twin for the PRIMAL too: the
     # fwd/bwd pair then both come from the same XLA+window_mha composition
     # (old-path speed for gradient workloads; measured 1059 vs 1211 img/s
@@ -437,7 +462,7 @@ def _swin_block_fwd(x, params, bias, mask, nb_heads, scale, interpret):
     return out, (x, params, bias, mask)
 
 
-def _swin_block_bwd(nb_heads, scale, interpret, res, g):
+def _swin_block_bwd(nb_heads, scale, interpret, stacked, res, g):
     x, params, bias, mask = res
     _, vjp = jax.vjp(
         lambda x, p, b, m: _reference_block(x, p, b, m, nb_heads, scale),

@@ -223,11 +223,13 @@ def _group_attention_stacked(qg, kg, vg, b_ref, mw, off: int, d: int,
 
 
 def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
-               interpret: bool = False):
+               interpret: bool = False, stacked: "bool | None" = None):
     """q, k, v: (BW, N, C) with BW = batch * nb_windows (window-major inner).
 
     bias: (H, N, N); mask: (nW, N, N) additive shift mask or None. Returns
-    (BW, N, C) in the dtype of q.
+    (BW, N, C) in the dtype of q. ``stacked=None`` resolves via
+    ``_stacked_enabled``; an explicit False forces the per-head group bodies
+    (the VMEM-degrade path used by window_mha_or_none).
     """
     bw0, n0, c = q.shape
     d = c // nb_heads
@@ -254,8 +256,9 @@ def window_mha(q, k, v, bias, mask=None, *, nb_heads: int, scale: float,
         # is streamed per program — half the HBM traffic.
         operands.append(mask.astype(jnp.bfloat16))
 
-    group_fn = (_group_attention_stacked if _stacked_enabled(n)
-                else _group_attention)
+    use_stacked = (_stacked_enabled(n) if stacked is None
+                   else (stacked and n % 8 == 0))
+    group_fn = _group_attention_stacked if use_stacked else _group_attention
 
     def kernel(q_ref, k_ref, v_ref, b_ref, *rest):
         m_ref, o_ref = (rest if mask is not None else (None,) + rest)
@@ -490,9 +493,10 @@ def _window_mha_bwd_call(q, k, v, bias, mask, g, nb_heads, scale,
     return dq, dk, dv, dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def window_mha_diff(q, k, v, bias, mask, nb_heads: int, scale: float,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    stacked: "bool | None" = None):
     """Differentiable fused windowed MHA (custom VJP, Pallas backward).
 
     Gradients flow to q/k/v and the bias table. The shift ``mask`` is
@@ -503,16 +507,16 @@ def window_mha_diff(q, k, v, bias, mask, nb_heads: int, scale: float,
     through an XLA twin instead (the fused forward is kept either way).
     """
     return window_mha(q, k, v, bias, mask, nb_heads=nb_heads, scale=scale,
-                      interpret=interpret)
+                      interpret=interpret, stacked=stacked)
 
 
-def _window_mha_fwd(q, k, v, bias, mask, nb_heads, scale, interpret):
+def _window_mha_fwd(q, k, v, bias, mask, nb_heads, scale, interpret, stacked):
     out = window_mha(q, k, v, bias, mask, nb_heads=nb_heads, scale=scale,
-                     interpret=interpret)
+                     interpret=interpret, stacked=stacked)
     return out, (q, k, v, bias, mask)
 
 
-def _window_mha_bwd(nb_heads, scale, interpret, res, g):
+def _window_mha_bwd(nb_heads, scale, interpret, stacked_fwd, res, g):
     q, k, v, bias, mask = res
     bw0, n0, c = q.shape
     nb_win = mask.shape[0] if mask is not None else 1
@@ -522,8 +526,11 @@ def _window_mha_bwd(nb_heads, scale, interpret, res, g):
     wb = _pick_wb(bw0 // pk, nb_heads, max(1, nb_win // pk), mask is not None)
     itemsize = jnp.dtype(q.dtype).itemsize
     # Degrade per shape: stacked backward -> per-head backward -> XLA twin,
-    # whichever is the richest that fits VMEM.
-    stacked = (_stacked_enabled(n)
+    # whichever is the richest that fits VMEM. An explicit stacked=False from
+    # the forward dispatch (its VMEM degrade) is honored here too.
+    want_stacked = (_stacked_enabled(n) if stacked_fwd is None
+                    else bool(stacked_fwd))
+    stacked = (want_stacked
                and _bwd_fits(wb, n, c, nb_heads, itemsize, mask is not None,
                              stacked=True))
     if not _bwd_fits(wb, n, c, nb_heads, itemsize, mask is not None,
@@ -596,11 +603,20 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
     itemsize = jnp.dtype(q.dtype).itemsize
     vmem = (4 * wb * n * c * itemsize + nb_heads * n * n * 4
             + (wb * n * n * 4 if mask is not None else 0))
+    stacked = None  # auto (_stacked_enabled)
     if _stacked_enabled(n):
         # Stacked group bodies keep J = min(128, C)//d score-sized blocks
-        # (s/p/dp/ds in the backward) live at once instead of one.
-        vmem += 4 * (min(128, c) // d) * n * n * 4
+        # (s/p/dp/ds in the backward) live at once instead of one. When that
+        # busts VMEM but the per-head budget fits, degrade to the unstacked
+        # group bodies (same recipe as fused_mha) rather than dropping the
+        # fused kernel entirely.
+        stacked_extra = 4 * (min(128, c) // d) * n * n * 4
+        if vmem + stacked_extra <= _VMEM_LIMIT_BYTES:
+            vmem += stacked_extra
+        else:
+            stacked = False
     if vmem > _VMEM_LIMIT_BYTES:
         return None
-    out = window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret)
+    out = window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret,
+                          stacked)
     return out[:, :n0, :] if npad != n0 else out
