@@ -141,6 +141,22 @@ def probe_relpos():
                     argnums=(0, 1, 2, 3, 4))(*a), q, q, q, rh, rw)
 
 
+def probe_convnext_mlp():
+    """Fused LN+MLP kernel at every ConvNeXt-B stage shape (bs128 tokens)."""
+    from tfimm_tpu.ops.pallas.convnext_mlp import convnext_mlp
+
+    for c, toks in [(128, 128 * 3136), (256, 128 * 784), (512, 128 * 196),
+                    (1024, 128 * 49)]:
+        hidden = 4 * c
+        args = (A((toks, c), jnp.bfloat16), A((toks, c), jnp.bfloat16),
+                A((c,), jnp.float32), A((c,), jnp.float32),
+                A((c, hidden), jnp.bfloat16), A((hidden,), jnp.float32),
+                A((hidden, c), jnp.bfloat16), A((c,), jnp.float32),
+                A((c,), jnp.float32))
+        try_compile(f"convnext_mlp C={c} M={toks}",
+                    lambda *a: convnext_mlp(*a, eps=1e-6), *args)
+
+
 def probe_models():
     """Whole-model compiles with chip-mode kernel dispatch
     (TFIMM_TPU_ASSUME_TPU=1) — the integration the CPU test suite can only
@@ -185,7 +201,8 @@ def probe_models():
 
 
 PROBES = {"cait": probe_cait, "mha": probe_mha, "window": probe_window,
-          "relpos": probe_relpos, "models": probe_models}
+          "relpos": probe_relpos, "convnext_mlp": probe_convnext_mlp,
+          "models": probe_models}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(PROBES)

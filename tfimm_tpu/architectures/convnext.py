@@ -86,6 +86,8 @@ class ConvNeXtBlock:
         self.drop_path_rate = drop_path_rate
         self.conv_mlp_block = conv_mlp_block
         self.drop_rate = drop_rate
+        self.norm_name = norm_layer
+        self.act_name = act_layer
 
     def init(self, rng):
         r = jax.random.split(rng, 3)
@@ -126,6 +128,20 @@ class ConvNeXtBlock:
                 + c * hidden * 2) * 2
         return vmem < 12 * 1024 * 1024
 
+    def _mlp_kernel_ok(self):
+        """Gate for the fused LN+MLP kernel (ops/pallas/convnext_mlp.py):
+        inference only (drop path / dropout are identity), Dense MLP,
+        standard LayerNorm + GELU. Shape/VMEM/backends checks live in the
+        dispatcher. Default-on; TFIMM_TPU_CONVNEXT_MLP=0 opts out."""
+        from tfimm_tpu.core import current_context
+
+        if current_context().training:
+            return False
+        if self.conv_mlp_block or self.drop_rate:
+            return False
+        return self.norm_name.startswith("layer_norm") \
+            and self.act_name == "gelu"
+
     def __call__(self, p, x):
         if self._use_fused_kernel(x):
             from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block
@@ -139,6 +155,17 @@ class ConvNeXtBlock:
             )
         shortcut = x
         x = self.conv_dw(p["conv_dw"], x)
+        if self._mlp_kernel_ok():
+            from tfimm_tpu.ops.pallas.convnext_mlp import convnext_mlp_or_none
+
+            out = convnext_mlp_or_none(
+                x, shortcut, p["norm"]["scale"], p["norm"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                p["gamma"], eps=self.norm.eps,
+            )
+            if out is not None:
+                return out
         x = self.norm(p["norm"], x)
         x = self.mlp(p["mlp"], x)
         x = x * p["gamma"].astype(x.dtype)
