@@ -162,6 +162,20 @@ def _nav_entries(index_text: str):
     return entries
 
 
+def _all_pages(entries):
+    """Every markdown page under docs/ (subdirectories included, _build
+    excluded), titled from the nav when listed there."""
+    titles = dict((n, t) for n, t in entries)
+    pages = []
+    for page in sorted(DOCS.rglob("*.md")):
+        rel = page.relative_to(DOCS).as_posix()
+        if rel.startswith("_build"):
+            continue
+        default = page.stem.replace("_", " ").title()
+        pages.append((rel, titles.get(rel, default)))
+    return pages
+
+
 def build() -> int:
     if not DOCS.is_dir():
         print(f"docs directory not found: {DOCS}", file=sys.stderr)
@@ -183,7 +197,8 @@ def build() -> int:
         extensions=["fenced_code", "tables", "codehilite", "toc"],
         extension_configs={"codehilite": {"guess_lang": False}},
     )
-    for name, title in entries:
+    pages = _all_pages(entries) + [("api.md", "API reference")]
+    for name, title in pages:
         text = api_md if name == "api.md" else (DOCS / name).read_text()
         # Strip MyST toctree directives — navigation is the sidebar here.
         text = re.sub(r"```\{toctree\}.*?```", "", text, flags=re.DOTALL)
@@ -192,19 +207,22 @@ def build() -> int:
         # .md links -> .html so pages cross-link inside the build.
         body = re.sub(r'href="([\w./-]+)\.md(#[\w-]*)?"',
                       r'href="\1.html\2"', body)
+        depth = name.count("/")
+        up = "../" * depth
         nav = "\n".join(
-            f'<a href="{n[:-3]}.html"'
+            f'<a href="{up}{n[:-3]}.html"'
             + (' class="current"' if n == name else "")
             + f">{html.escape(t)}</a>"
             for n, t in entries
         )
-        out_name = name[:-3] + ".html"
-        (OUT / out_name).write_text(
+        out_path = OUT / (name[:-3] + ".html")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(
             PAGE.format(title=html.escape(title), nav=nav, body=body,
                         pygments=pygments)
         )
-        print(f"  wrote {out_name}")
-    print(f"Docs built at {OUT}/index.html ({len(entries)} pages)")
+        print(f"  wrote {name[:-3] + '.html'}")
+    print(f"Docs built at {OUT}/index.html ({len(pages)} pages)")
     return 0
 
 

@@ -154,6 +154,79 @@ ZOO = [
     ("mobilenet_v2_140", 256, 128),
     ("mobilenet_v2_110d", 256, 128),
     ("mobilenet_v2_120d", 192, 96),
+    # --- round-4 coverage closure: one representative per remaining trunk
+    # group from results/coverage.csv (scripts/make_coverage.py); measuring
+    # these collapses every UNEXPLAINED variant to measured/alias/alias-head.
+    ("cait_xxs24_384", 32, 16),
+    ("cait_xxs36_384", 32, 16),
+    ("cait_xs24_384", 32, 16),
+    ("cait_s24_384", 16, 8),
+    ("cait_m48_448", 8, 4),
+    ("convnext_tiny_384_in22ft1k", 32, 16),
+    ("convnext_small_384_in22ft1k", 32, 16),
+    ("convnext_base_384_in22ft1k", 32, 16),
+    ("convnext_large_384_in22ft1k", 16, 8),
+    ("convnext_xlarge_in22ft1k", 32, 16),
+    ("convnext_xlarge_384_in22ft1k", 8, 4),
+    ("deit_tiny_distilled_patch16_224", 256, 128),
+    ("deit_base_distilled_patch16_384", 32, 16),
+    ("ecaresnet50t", 256, 128),
+    ("ecaresnet269d", 16, 8),
+    ("efficientnet_b8", 4, 2),
+    ("efficientnet_l2_ns_475", 4, 2),
+    ("efficientnet_l2_ns", 2, 1),
+    ("efficientnet_v2_xl_in21ft1k", 8, 4),
+    ("gmixer_12_224", 256, 128),
+    ("ig_resnext101_32x16d", 32, 16),
+    ("ig_resnext101_32x32d", 16, 8),
+    ("ig_resnext101_32x48d", 8, 4),
+    ("mixer_l32_224", 128, 64),
+    ("pit_ti_distilled_224", 256, 128),
+    ("pit_xs_distilled_224", 256, 128),
+    ("pit_s_distilled_224", 128, 64),
+    ("pit_b_distilled_224", 128, 64),
+    ("pt_efficientnet_b0", 256, 128),
+    ("pt_efficientnet_b1", 128, 64),
+    ("pt_efficientnet_b2", 128, 64),
+    ("pt_efficientnet_b3", 96, 48),
+    ("pt_efficientnet_b4", 48, 24),
+    ("resnet18d", 256, 128),
+    ("resnet26d", 256, 128),
+    ("resnet26t", 192, 96),
+    ("resnetrs200", 32, 16),
+    ("resnetrs270", 32, 16),
+    ("resnetrs350", 16, 8),
+    ("resnetrs420", 8, 4),
+    ("resnetv2_101x1_bitm_in21k", 32, 16),
+    ("resnetv2_101x3_bitm", 2, 1),
+    ("resnetv2_101x3_bitm_in21k", 8, 4),
+    ("resnetv2_152x2_bit_teacher", 16, 8),
+    ("resnetv2_152x2_bit_teacher_384", 4, 2),
+    ("resnetv2_152x2_bitm", 2, 1),
+    ("resnetv2_152x4_bitm", 1, 1),
+    ("resnetv2_152x4_bitm_in21k", 4, 2),
+    ("resnetv2_50x1_bit_distilled", 32, 16),
+    ("resnetv2_50x3_bitm_in21k", 8, 4),
+    ("resnext50d_32x4d", 256, 128),
+    ("seresnext26d_32x4d", 256, 128),
+    ("seresnext26t_32x4d", 256, 128),
+    ("ssl_resnext101_32x4d", 128, 64),
+    ("swin_large_patch4_window12_384", 8, 4),
+    ("vgg13_bn", 128, 64),
+    ("vit_base_patch16_224_miil", 128, 64),
+    ("vit_base_patch32_384", 64, 32),
+    ("vit_base_r50_s16_224_in21k", 64, 32),
+    ("vit_huge_patch14_224_in21k", 16, 8),
+    ("vit_large_patch16_384", 16, 8),
+    ("vit_large_patch32_224_in21k", 128, 64),
+    ("vit_large_patch32_384", 32, 16),
+    ("vit_large_r50_s32_224", 64, 32),
+    ("vit_large_r50_s32_384", 16, 8),
+    ("vit_small_patch16_384", 64, 32),
+    ("vit_small_patch32_384", 128, 64),
+    ("vit_small_r26_s32_384", 32, 16),
+    ("vit_tiny_patch16_384", 128, 64),
+    ("vit_tiny_r_s16_p8_384", 64, 32),
 ]
 
 
