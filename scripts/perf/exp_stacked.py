@@ -43,9 +43,13 @@ CELLS = [
     ("cait_s24_224", "TFIMM_TPU_CAIT_STACKED",
      {"inference": 128, "backprop": 64}),
     # Widened forward VMEM gate (compile-verified; backward stays on the
-    # AD twin there) — lets the 577-token CaiT models take the kernel.
-    ("cait_s24_384", "TFIMM_TPU_CAIT_LARGE",
-     {"inference": 32, "backprop": 16}),
+    # AD twin there). Round-4 correction: every registered @384 CaiT already
+    # fits the DEFAULT 10 MB gate (deviceless HLO diff: cait_s24_384 /
+    # cait_m36_384 dispatch 24/36 kernel calls with the flag 0 or 1 — the
+    # round-3 cait_s24_384 rows measured the same path twice); the widened
+    # gate only changes dispatch for cait_m48_448 (0 -> 48 calls).
+    ("cait_m48_448", "TFIMM_TPU_CAIT_LARGE",
+     {"inference": 8, "backprop": 4}),
 ]
 
 WORKER = r"""

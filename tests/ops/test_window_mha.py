@@ -241,3 +241,58 @@ def test_window_mha_grad_clamp_saturation():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+def test_window_mha_stacked_override(stacked):
+    """The explicit stacked override (the VMEM-degrade path in
+    window_mha_or_none) matches the reference either way."""
+    q, k, v, bias, mask = _make(8, 8, 128, 2, 4, seed=3)
+    scale = 0.125
+    ref = _reference(q, k, v, bias, mask, 2, scale)
+    out = window_mha(q, k, v, bias, mask, nb_heads=2, scale=scale,
+                     interpret=True, stacked=stacked)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # And through the custom-VJP wrapper with the override threaded.
+    out2 = window_mha_diff(q, k, v, bias, mask, 2, scale, True, stacked)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_window_mha_or_none_degrades_not_drops(monkeypatch):
+    """When the stacked VMEM budget busts but the per-head budget fits, the
+    dispatcher must return the fused kernel (stacked=False), not None."""
+    import tfimm_tpu.ops.pallas.window_mha as wm
+
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("TFIMM_TPU_WINDOW_STACKED", "1")
+    q, k, v, bias, mask = _make(8, 8, 128, 2, 4, seed=4)
+    base = wm.window_mha_or_none(q, k, v, bias, mask, nb_heads=2,
+                                 scale=0.125)
+    assert base is not None
+    # Shrink the budget to just above the per-head need so the stacked
+    # extra cannot fit: dispatch must degrade, not return None.
+    calls = {}
+    orig = wm.window_mha_diff
+
+    def spy(*args):
+        calls["stacked"] = args[-1]
+        return orig(*args)
+
+    monkeypatch.setattr(wm, "window_mha_diff", spy)
+    # Scan budgets downward: somewhere between "everything fits" and
+    # "nothing fits" there must be a band where the kernel still dispatches
+    # but with stacked=False (the degrade), instead of returning None.
+    out = None
+    for limit in range(400_000, 8_000, -8_000):
+        calls.clear()
+        monkeypatch.setattr(wm, "_VMEM_LIMIT_BYTES", limit)
+        res = wm.window_mha_or_none(q, k, v, bias, mask, nb_heads=2,
+                                    scale=0.125)
+        if res is not None and calls.get("stacked") is False:
+            out = res
+            break
+    assert out is not None, "no budget produced the stacked=False degrade"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2e-5, rtol=2e-5)

@@ -521,14 +521,16 @@ def talking_head_attention_or_none(qkv, w_l, b_l, w_w, b_w, *,
     itemsize = jnp.dtype(qkv.dtype).itemsize
     # qkv blocks + output + f32 accumulator + one f32 score matrix.
     vmem = 4 * n * dim * itemsize + n * dim * 4 + n * n * 4 + 2 * n * dim * 4
-    # The 10 MB budget is far below v5e's real 128 MB VMEM: the deviceless
-    # Mosaic compile (scripts/perf/compile_probe.py) verifies the FORWARD
-    # kernel at the 577-token @384 shapes (s24@384 ~10.1 MB, m36@384
-    # ~20 MB) that this gate was declining. TFIMM_TPU_CAIT_LARGE=1 widens
-    # the forward gate to the compile-verified ceiling so those models
-    # take the kernel (training still backs off to the AD twin — the
-    # backward really does bust VMEM there, compiler-confirmed). Off by
-    # default until the @384 throughput is TPU-measured.
+    # The 10 MB budget is far below v5e's real 128 MB VMEM. Round-4
+    # correction: every registered 577-token @384 CaiT already FITS this
+    # default gate (s24@384 ~5.8 MB, m36@384 ~10.2 MB — verified by
+    # deviceless HLO diff: kernel-call counts are identical with the flag
+    # 0 or 1). TFIMM_TPU_CAIT_LARGE=1 only changes dispatch for
+    # cait_m48_448 (785 tokens, ~14.5 MB; 0 -> 48 kernel calls), widening
+    # the forward gate to the compile-verified ceiling (training still
+    # backs off to the AD twin — the backward really does bust VMEM
+    # there, compiler-confirmed). Off by default until the m48@448
+    # throughput is TPU-measured (scripts/perf/exp_stacked.py).
     limit = (32 * 2 ** 20
              if os.environ.get("TFIMM_TPU_CAIT_LARGE", "0") == "1"
              else _VMEM_LIMIT_BYTES)
