@@ -145,14 +145,23 @@ def probe_convnext_mlp():
     """Fused LN+MLP kernel at every ConvNeXt-B stage shape (bs128 tokens)."""
     from tfimm_tpu.ops.pallas.convnext_mlp import convnext_mlp
 
+    # ConvNeXt-B stages, plus the large/xlarge big-C stages (768/1536/2048).
     for c, toks in [(128, 128 * 3136), (256, 128 * 784), (512, 128 * 196),
-                    (1024, 128 * 49)]:
+                    (1024, 128 * 49), (768, 64 * 196), (1536, 64 * 49),
+                    (2048, 32 * 49)]:
         hidden = 4 * c
         args = (A((toks, c), jnp.bfloat16), A((toks, c), jnp.bfloat16),
                 A((c,), jnp.float32), A((c,), jnp.float32),
                 A((c, hidden), jnp.bfloat16), A((hidden,), jnp.float32),
                 A((hidden, c), jnp.bfloat16), A((c,), jnp.float32),
                 A((c,), jnp.float32))
+        from tfimm_tpu.ops.pallas.convnext_mlp import _pick_blocks
+
+        if _pick_blocks(toks, c, hidden, 2) is None:
+            print(f"convnext_mlp C={c} M={toks}: DECLINED by design "
+                  "(weights above the measured win region; XLA path)",
+                  flush=True)
+            continue
         try_compile(f"convnext_mlp C={c} M={toks}",
                     lambda *a: convnext_mlp(*a, eps=1e-6), *args)
 

@@ -40,7 +40,9 @@ def micro():
                                                    convnext_mlp)
 
     B = 128
-    for c, hw in [(128, 56), (256, 28), (512, 14), (1024, 7)]:
+    # ConvNeXt-B stage shapes + C=768 (convnext_large stage 3, borderline
+    # for the weights<=10MB dispatch gate).
+    for c, hw in [(128, 56), (256, 28), (512, 14), (768, 14), (1024, 7)]:
         m = B * hw * hw
         hidden = 4 * c
         rng = np.random.default_rng(0)

@@ -44,9 +44,12 @@ def test_convnext_mlp_matches_reference(dtype, m, c, hidden):
 
 
 def test_convnext_mlp_hidden_chunking():
-    """H > 2048 forces multi-chunk accumulation over the hidden grid dim."""
+    """The chunked fallback (hc < hidden, f32 accumulator across the j grid
+    dim) matches the reference; forced via block_plan since the planner
+    prefers resident weights at these sizes."""
     args = _inputs(16, 128, 4096, jnp.float32, seed=1)
-    out = convnext_mlp(*args, eps=1e-6, interpret=True)
+    out = convnext_mlp(*args, eps=1e-6, interpret=True,
+                       block_plan=(16, 1024, 10 * 2 ** 20))
     ref = _reference_mlp(*args, 1e-6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
