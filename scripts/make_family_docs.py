@@ -82,9 +82,10 @@ class token against the frozen patch tokens.
 fuses both head-mix matmuls with the attention body per batch row, with
 sublane-stacked head chunks (default-on, `TFIMM_TPU_CAIT_STACKED=0` opts
 out) and a custom VJP; measured +8.6% inference / +13.1% backprop on
-cait_s24 vs its own per-head bodies. 577-token (384px) variants take the
-kernel under a widened forward VMEM gate (`TFIMM_TPU_CAIT_LARGE`), with
-backward on the XLA twin.""",
+cait_s24 vs its own per-head bodies. 577-token (384px) variants fit the
+default VMEM gate and take the kernel, with backward on the XLA twin;
+the 784-token cait_m48_448 exceeds the XLA:TPU scoped-vmem compile limit
+(measured) and runs the XLA path.""",
     ),
     "swin": dict(
         title="Swin Transformer",

@@ -42,14 +42,14 @@ CELLS = [
      {"inference": 128, "backprop": 64}),
     ("cait_s24_224", "TFIMM_TPU_CAIT_STACKED",
      {"inference": 128, "backprop": 64}),
-    # Widened forward VMEM gate (compile-verified; backward stays on the
-    # AD twin there). Round-4 correction: every registered @384 CaiT already
-    # fits the DEFAULT 10 MB gate (deviceless HLO diff: cait_s24_384 /
-    # cait_m36_384 dispatch 24/36 kernel calls with the flag 0 or 1 — the
-    # round-3 cait_s24_384 rows measured the same path twice); the widened
-    # gate only changes dispatch for cait_m48_448 (0 -> 48 calls).
-    ("cait_m48_448", "TFIMM_TPU_CAIT_LARGE",
-     {"inference": 8, "backprop": 4}),
+    # TFIMM_TPU_CAIT_LARGE (the round-3 widened forward VMEM gate):
+    # RESOLVED round 4 and the toggle REMOVED. Every registered @384 CaiT
+    # already fits the default 10 MB gate (deviceless HLO diff), and the
+    # only shape the widened gate added — cait_m48_448, 784 tokens — FAILS
+    # to compile on hardware (XLA:TPU scoped-vmem OOM, 20.54 MB > 16 MB;
+    # both =1 cells of this experiment). The =0 rows in the CSV (68.2
+    # inference / 23.7 backprop img/s at bs 8/4) measure the shipping XLA
+    # path at that shape and stand as its record.
 ]
 
 WORKER = r"""

@@ -179,35 +179,42 @@ def test_dispatch_declines_off_tpu(monkeypatch):
         qkv, wl, bl, ww, bw, nb_heads=h, scale=scale) is None
 
 
-def test_dispatch_large_gate(monkeypatch):
-    """TFIMM_TPU_CAIT_LARGE widens the forward VMEM gate to the
-    compile-verified ceiling so 577-token (@384) CaiT shapes take the
-    kernel; without it the conservative default declines them."""
+def test_dispatch_vmem_gate_boundary(monkeypatch):
+    """The 10 MB VMEM gate's boundary is measured, not conservative:
+    bf16 577-token (@384) m36-class shapes are ACCEPTED (they fit,
+    ~10.2 MB), while the 784-token m48@448 shape is DECLINED — the
+    round-3 TFIMM_TPU_CAIT_LARGE toggle that admitted it hit an XLA:TPU
+    scoped-vmem compile OOM on hardware (20.54 MB > 16 MB,
+    exp_stacked.py round 4), so the widened gate was removed."""
     from tfimm_tpu.ops.pallas.cait_attention import (
         talking_head_attention_or_none, _reference,
     )
 
-    h, d = 16, 48  # m36-class: dim=768; f32 trips the default 10 MB gate
+    h, d = 16, 48  # m36/m48-class: dim=768
     dim = h * d
-    n = 577
     rng = np.random.default_rng(0)
-    qkv = jnp.asarray(rng.normal(size=(1, n, 3 * dim)), jnp.float32)
     wl = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
     ww = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
     bl = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
     bw = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
     monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("TFIMM_TPU_CAIT_STACKED", raising=False)
+
+    # m48@448: 784 tokens — declined regardless of any env.
+    qkv = jnp.asarray(rng.normal(size=(1, 784, 3 * dim)), jnp.bfloat16)
+    monkeypatch.setenv("TFIMM_TPU_CAIT_LARGE", "1")  # removed toggle: inert
     assert talking_head_attention_or_none(
         qkv, wl, bl, ww, bw, nb_heads=h, scale=d ** -0.5) is None
-    monkeypatch.setenv("TFIMM_TPU_CAIT_LARGE", "1")
+
+    # m36@384: 577 tokens bf16 — accepted by the default gate.
+    qkv = jnp.asarray(rng.normal(size=(1, 577, 3 * dim)), jnp.bfloat16)
     out = talking_head_attention_or_none(
         qkv, wl, bl, ww, bw, nb_heads=h, scale=d ** -0.5)
     assert out is not None
     ref = _reference(qkv, wl, bl, ww, bw, h, d ** -0.5)
-    # 577-length f32 reductions + the kernel's different contraction
-    # order: pure reassociation noise, so the tolerance scales with n.
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2)  # bf16 resolution over 577-length reductions
 
 
 def test_dispatch_declines_non_lane_aligned_dim(monkeypatch):

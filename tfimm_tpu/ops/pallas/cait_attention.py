@@ -521,20 +521,17 @@ def talking_head_attention_or_none(qkv, w_l, b_l, w_w, b_w, *,
     itemsize = jnp.dtype(qkv.dtype).itemsize
     # qkv blocks + output + f32 accumulator + one f32 score matrix.
     vmem = 4 * n * dim * itemsize + n * dim * 4 + n * n * 4 + 2 * n * dim * 4
-    # The 10 MB budget is far below v5e's real 128 MB VMEM. Round-4
-    # correction: every registered 577-token @384 CaiT already FITS this
-    # default gate (s24@384 ~5.8 MB, m36@384 ~10.2 MB — verified by
-    # deviceless HLO diff: kernel-call counts are identical with the flag
-    # 0 or 1). TFIMM_TPU_CAIT_LARGE=1 only changes dispatch for
-    # cait_m48_448 (785 tokens, ~14.5 MB; 0 -> 48 kernel calls), widening
-    # the forward gate to the compile-verified ceiling (training still
-    # backs off to the AD twin — the backward really does bust VMEM
-    # there, compiler-confirmed). Off by default until the m48@448
-    # throughput is TPU-measured (scripts/perf/exp_stacked.py).
-    limit = (32 * 2 ** 20
-             if os.environ.get("TFIMM_TPU_CAIT_LARGE", "0") == "1"
-             else _VMEM_LIMIT_BYTES)
-    if vmem > limit:
+    # The 10 MB budget's boundary is MEASURED, not conservative: every
+    # registered 577-token @384 CaiT fits it (s24@384 ~5.8 MB, m36@384
+    # ~10.2 MB — verified by deviceless HLO diff), and the only shape the
+    # round-3 TFIMM_TPU_CAIT_LARGE widened gate (32 MB) would have added —
+    # cait_m48_448, 784 tokens, ~14.5 MB by this estimate — FAILS to
+    # compile on hardware: XLA:TPU scoped-vmem OOM, 20.54 MB > 16 MB limit
+    # (exp_stacked.py, round 4; the hand estimate omits Mosaic's stack
+    # temporaries). The toggle is removed; m48@448 takes the XLA path
+    # (measured there: 68.2 img/s inference / 23.7 backprop, bs8/4,
+    # results/stacked_experiment.csv).
+    if vmem > _VMEM_LIMIT_BYTES:
         return None
     return talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale,
                              interpret)

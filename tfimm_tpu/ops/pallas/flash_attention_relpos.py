@@ -728,6 +728,17 @@ def _relpos_backward_call_paired(qs, k, v, rh2, rw2, out, lse2, do, gw,
         )(qs, k, v, do, lse2, delta2, rh2, rw2)
         return dq, dk, dv, drh2, drw2
 
+    # The paired layout doubles every block's lane width; at the SAM global
+    # shape (N=4096, 512-wide blocks) the streaming dq kernel's Mosaic
+    # stack temporaries exceed XLA:TPU's 16 MB scoped-vmem limit (measured
+    # round 4: 16.66 MB on hardware via exp_stacked.py, reproduced by the
+    # deviceless whole-encoder AOT probe). Halve the backward blocks to
+    # 256: compiles with margin, still satisfies gw | block_k and
+    # n % block_q == 0 for every dispatched shape (the forward keeps its
+    # 512 blocks — it fits).
+    block_q = min(block_q, 256)
+    block_k = min(block_k, 256)
+
     full = pl.BlockSpec((1, n, d2), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
     blk_q = pl.BlockSpec((1, block_q, d2), lambda bi, i: (bi, i, 0),
