@@ -81,15 +81,22 @@ def main():
         "roofline_fraction": round(
             img_per_sec * VIT_B16_FLOPS / V5E_BF16_PEAK, 3
         ),
-        # Backed by the published per-op decomposition (results/README.md,
-        # scripts/perf/decompose_roofline.py): every ViT-B matmul measures
-        # 87-94% of peak; the attention kernel's physical floor (the
-        # unavoidable d=64->128 MXU padding at 197 TF/s) bounds the model
-        # at ~0.90 of the useful-FLOP roofline.
-        "practical_ceiling_fraction": 0.90,
+        # MEASURED floor (round 4, scripts/perf/exp_attn_floor.py ->
+        # results/attn_floor.csv): the shipping attention kernel
+        # (0.656 ms/layer) is 1.39x FASTER than XLA's own matmuls-only
+        # attention at the same shapes (0.913), and ablating its softmax
+        # saves only 1.7% (0.645) — the kernel is matmul-structure-bound
+        # at its own skeleton. Ceiling = measured model time with
+        # attention at that skeleton floor and every other op as measured
+        # (87-94% peak, results/README.md decomposition). The earlier
+        # 0.90 constant assumed a 0.37 ms analytic "padded FLOPs at
+        # 197 TF/s" floor that no measured implementation approaches.
+        "practical_ceiling_fraction": 0.84,
         "practical_ceiling_def": (
-            "model time with the attention kernel at its padded-MXU matmul "
-            "floor and every other op as measured (87-94% peak) — "
+            "model time with the attention kernel at its measured matmul-"
+            "skeleton floor (softmax-ablated kernel, 0.645 ms/layer, "
+            "results/attn_floor.csv; XLA's matmuls-only floor is 0.913) "
+            "and every other op as measured (87-94% peak) — "
             "results/README.md ViT-B decomposition"),
     }
     # Secondary north-star configs (BASELINE.json names ConvNeXt-B alongside
@@ -128,10 +135,19 @@ def main():
         result["vit_base_backprop_vs_v100_fp32"] = round(rate / 92.36, 2)
         result["vit_base_backprop_roofline_fraction"] = round(
             rate * 3 * VIT_B16_FLOPS / V5E_BF16_PEAK, 3)
-        # Decomposition-backed (results/README.md vit_bwd table): matmul
-        # fwd+VJP compositions measure 86-93% of peak; the MHA backward at
-        # its current structure bounds the step at ~0.73.
+        # Decomposition-backed (results/README.md vit_bwd table) with the
+        # round-4 measured floor: the kernel's fwd+bwd (0.689 ms/layer)
+        # already BEATS XLA's matmuls-only fwd+bwd floor (0.719,
+        # results/attn_floor.csv), so attention contributes no recoverable
+        # gap; the 0.73 ceiling = the measured step minus its standalone
+        # LayerNorm HBM passes (1.98 ms of the 49.6 ms step), the only
+        # remaining sub-peak rows.
         result["vit_base_backprop_practical_ceiling_fraction"] = 0.73
+        result["vit_base_backprop_practical_ceiling_def"] = (
+            "measured step minus its standalone-LN HBM passes with the "
+            "attention kernel at its measured fwd+bwd floor "
+            "(0.689 ms/layer, already below XLA's 0.719 matmuls-only "
+            "floor — results/attn_floor.csv)")
     except Exception:
         pass
     print(json.dumps(result))

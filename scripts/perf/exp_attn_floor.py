@@ -38,7 +38,6 @@ sys.path.insert(0, HERE)
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from exp_fused_mha4 import timeit  # noqa: E402 (slope timing, adaptive)
 from decompose_roofline import timeit_fb  # noqa: E402 (pinned cotangent)
@@ -124,18 +123,28 @@ def cells_backprop():
 
 
 def derived(rows, batch, img_s, roofline, kernel_cell, floor_cells, label):
+    """Ceiling = model time with attention at its measured floor.
+
+    The floor is the SMALLEST measured attention time: the kernel's own
+    softmax-ablated skeleton when available, else the best full
+    implementation — round-4 data has the shipping kernel BELOW XLA's
+    matmuls-only floor (0.656 vs 0.913 fwd; 0.689 vs 0.719 fwd+bwd), so
+    taking a max() of external floors would produce a "ceiling" under the
+    measured roofline."""
     d = dict(rows)
-    if kernel_cell not in d or not all(c in d for c in floor_cells):
+    if kernel_cell not in d or not any(c in d for c in floor_cells):
         return
     t_model = batch / img_s
-    floor = max(d[c] for c in floor_cells)
+    floor = min(d[c] for c in floor_cells if c in d)
+    floor = min(floor, d[kernel_cell])
     t_floor_model = t_model - LAYERS * (d[kernel_cell] - floor)
     ceiling = roofline * t_model / t_floor_model
     print(f"\n{label}: model {t_model*1e3:.2f} ms/batch, kernel "
           f"{d[kernel_cell]*1e3:.3f} ms/layer, floor "
-          f"{floor*1e3:.3f} ms/layer (= max of "
-          f"{', '.join(floor_cells)}) -> practical ceiling "
-          f"{ceiling:.3f} (measured roofline {roofline})", flush=True)
+          f"{floor*1e3:.3f} ms/layer (= min of "
+          f"{', '.join(c for c in floor_cells if c in d)}, clamped at the "
+          f"kernel) -> practical ceiling {ceiling:.3f} "
+          f"(measured roofline {roofline})", flush=True)
     return ceiling
 
 
@@ -158,7 +167,7 @@ def main():
             w.writerow([cell, round(t * 1e3, 4), b, N, D, H])
 
     derived(rows, B_INF, MODEL_INF_IMG_S, MODEL_INF_ROOFLINE,
-            "kernel", ["kernel_nosm", "xla_mm"], "INFERENCE")
+            "kernel", ["kernel_nosm"], "INFERENCE")
     derived(rows, B_BWD, MODEL_BWD_IMG_S, MODEL_BWD_ROOFLINE,
             "kernel_fb", ["xla_mm_fb"], "BACKPROP")
 
