@@ -91,7 +91,11 @@ def run_cell(model, env_var, target, bs, stacked):
 
 def run_sam_cell(mode, marker, paired):
     env = dict(os.environ)
-    env["TFIMM_TPU_RELPOS_PAIRED"] = "1" if paired else "0"
+    # "force" bypasses the is_training gate (round 4: paired is default-on
+    # for inference, auto-off in training contexts) so the backprop A/B
+    # really measures the paired backward rather than the same unpaired
+    # path twice.
+    env["TFIMM_TPU_RELPOS_PAIRED"] = "force" if paired else "0"
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "perf",
                                       "exp_sam_window.py"), mode],

@@ -31,16 +31,32 @@ LANES = 128  # minor-dim replication for per-row scalars (lse, delta)
 
 
 def _paired_enabled() -> bool:
-    """Opt-in head-pair lane packing (TFIMM_TPU_RELPOS_PAIRED=1).
+    """Head-pair lane packing, default-on for INFERENCE
+    (TFIMM_TPU_RELPOS_PAIRED=0 opts out); training contexts stay unpaired.
 
     SAM's head width d=64 pads to the 128-lane MXU tile in EVERY attention
     matmul of the per-head layout — score/dp contract over 64 lanes,
     pv/dq/dk/dv emit 64 output lanes — so each runs at half the useful MXU
     rate. Packing head pairs into the 128 lanes (masked sublane-stacked
     queries, the fused_mha trick) makes all six matmuls full-width with the
-    same useful FLOPs, and halves the program count. Off until TPU-measured.
+    same useful FLOPs, and halves the program count.
+
+    Measured on v5e (results/stacked_experiment.csv, round 4): SAM ViT-B
+    encoder inference 37.7 -> 38.7 img/s (+2.7%) — default ON, matching
+    the other stacked-body wins. The paired BACKWARD (with its 256-block
+    clamp; 512 blocks bust scoped vmem) measured 16.8 vs 17.7 img/s on
+    the encoder fine-tune step (-5%): the fwd gain does not survive the
+    5-matmul backward's extra masking, so training contexts
+    (tfimm_tpu.core.is_training) dispatch the per-head layout.
     """
-    return os.environ.get("TFIMM_TPU_RELPOS_PAIRED", "0") == "1"
+    val = os.environ.get("TFIMM_TPU_RELPOS_PAIRED", "1")
+    if val == "force":
+        return True  # measurement escape: pair even under training
+    if val != "1":
+        return False
+    from tfimm_tpu.core import is_training
+
+    return not is_training()
 
 
 def _pack_pairs(x):
