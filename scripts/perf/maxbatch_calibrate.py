@@ -39,19 +39,25 @@ LOG_CSV = os.path.join(ROOT, "results", "maxbatch_calibration.csv")
 # so the second pass extends the ladders further down and adds the
 # remaining compile-bounded models.
 PROBES = [
-    ("vit_base_patch16_224", "inference", [6400, 5632, 4864, 4096]),
-    ("vit_base_patch16_224", "backprop", [1152, 1024, 896, 768]),
-    ("swin_tiny_patch4_window7_224", "inference", [6064, 5248, 4480]),
-    ("swin_tiny_patch4_window7_224", "backprop", [696, 624]),
-    ("convnext_tiny", "inference", [3488, 3072]),
-    ("convnext_tiny", "backprop", [1400, 1216]),
-    ("convnext_base", "inference", [2816, 2432]),
-    ("convnext_base", "backprop", [752, 656]),
+    # Pass-3 ladders (trimmed to bound + one fallback; pass-2 findings:
+    # vit inference verified at 4096 — every rung whose (B, H, N, N) score
+    # buffer exceeds 2^31 ELEMENTS (bs >= 4542) fails with the masked
+    # INTERNAL/500, so the compiler bound is unreachable through the
+    # tunnel for big-attention shapes; vit backprop 1152/1024 failed the
+    # same way pending lower rungs).
+    ("swin_tiny_patch4_window7_224", "inference", [6064, 5248]),
+    ("swin_tiny_patch4_window7_224", "backprop", [696]),
+    ("convnext_tiny", "inference", [3488]),
+    ("convnext_tiny", "backprop", [1400]),
+    ("convnext_base", "inference", [2816]),
+    ("convnext_base", "backprop", [752]),
     ("resnet18", "inference", [7272, 6272]),
-    ("resnet18", "backprop", [4088, 3584]),
-    ("efficientnet_b0", "inference", [4696, 4096]),
-    # resnet50: verified pass 1 (inference 4864, backprop 1232) — not
-    # re-probed; merge_runtime_column preserves existing values.
+    ("resnet18", "backprop", [4088]),
+    ("efficientnet_b0", "inference", [4696]),
+    ("vit_base_patch16_224", "backprop", [896, 768]),
+    # vit_base inference: verified pass 2 at 4096 (2789.8 img/s,
+    # NO_FLASH); resnet50: verified pass 1 (inference 4864, backprop
+    # 1232) — not re-probed; merge_runtime_column preserves values.
 ]
 
 WORKER = r"""
