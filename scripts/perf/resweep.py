@@ -65,10 +65,14 @@ SWEEP_HEADER = ["model", "dtype", "inference_batch_size",
                 "backprop_batch_size", "inference_img_per_sec",
                 "backprop_img_per_sec"]
 # Measured separately at 1024^2 (exp_sam_window.py); seeded if absent.
+# Seeded from the dedicated SAM measurements (exp_sam_window.py /
+# exp_stacked.py — these shapes need their own slope harness): round-4
+# values on the shipping defaults (RELPOS_PAIRED on for inference; the
+# backprop row is the XLA-windowed + unpaired-global training path).
 SAM_ROWS = [
-    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "inference", "37.9",
+    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "inference", "38.7",
      "", "", ""],
-    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "backprop", "13.6",
+    ["sam_vit_b_image_encoder_1024", "bfloat16", "1", "backprop", "17.7",
      "", "", ""],
 ]
 
