@@ -39,25 +39,30 @@ LOG_CSV = os.path.join(ROOT, "results", "maxbatch_calibration.csv")
 # so the second pass extends the ladders further down and adds the
 # remaining compile-bounded models.
 PROBES = [
-    # Pass-3 ladders (trimmed to bound + one fallback; pass-2 findings:
-    # vit inference verified at 4096 — every rung whose (B, H, N, N) score
-    # buffer exceeds 2^31 ELEMENTS (bs >= 4542) fails with the masked
-    # INTERNAL/500, so the compiler bound is unreachable through the
-    # tunnel for big-attention shapes; vit backprop 1152/1024 failed the
-    # same way pending lower rungs).
-    ("swin_tiny_patch4_window7_224", "inference", [6064, 5248]),
-    ("swin_tiny_patch4_window7_224", "backprop", [696]),
-    ("convnext_tiny", "inference", [3488]),
-    ("convnext_tiny", "backprop", [1400]),
-    ("convnext_base", "inference", [2816]),
-    ("convnext_base", "backprop", [752]),
-    ("resnet18", "inference", [7272, 6272]),
-    ("resnet18", "backprop", [4088]),
-    ("efficientnet_b0", "inference", [4696]),
-    ("vit_base_patch16_224", "backprop", [896, 768]),
-    # vit_base inference: verified pass 2 at 4096 (2789.8 img/s,
-    # NO_FLASH); resnet50: verified pass 1 (inference 4864, backprop
-    # 1232) — not re-probed; merge_runtime_column preserves values.
+    # Pass-4 ladders: every row still lacking a runtime_verified cell,
+    # extended BELOW the rungs that hit the tunnel's masked INTERNAL/500
+    # in passes 1-3 (those rungs are in maxbatch_calibration.csv; the
+    # 2^31-score-buffer boundary caps vit/deit-class inference at
+    # bs < 4542 regardless of memory). Goal: one demonstrated lower
+    # bound per row, not the bound itself — write-up in results/README.
+    ("vit_base_patch16_224", "backprop", [640, 512, 384]),
+    ("vit_tiny_patch16_224", "inference", [4096, 3072]),
+    ("vit_tiny_patch16_224", "backprop", [4376, 3072, 2048]),
+    ("deit_base_patch16_224", "inference", [4096, 3072]),
+    ("deit_base_patch16_224", "backprop", [1024, 640, 512]),
+    ("swin_tiny_patch4_window7_224", "inference", [4096, 3072]),
+    ("swin_tiny_patch4_window7_224", "backprop", [512, 384]),
+    ("convnext_tiny", "inference", [3072, 2560]),
+    ("convnext_tiny", "backprop", [1024, 768]),
+    ("convnext_base", "backprop", [640, 512]),
+    ("resnet18", "inference", [5120, 4096]),
+    ("resnet18", "backprop", [3072, 2048]),
+    # Verified in passes 1-3 (not re-probed; merge_runtime_column
+    # preserves values): vit_base inference 4096, resnet50 4864/1232,
+    # convnext_base inference 2816, efficientnet_b0 inference 4696.
+    # Pass-3 ladders for reference: swin_tiny inf [6064, 5248],
+    # convnext_tiny [3488]/[1400], convnext_base [2816]/[752],
+    # resnet18 [7272, 6272]/[4088], vit_base bwd [896, 768].
 ]
 
 WORKER = r"""

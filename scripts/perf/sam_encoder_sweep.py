@@ -57,13 +57,17 @@ def measure(name):
     x = jnp.asarray(np.random.default_rng(1).uniform(
         -1, 1, size=(1, 1024, 1024, 3)), jnp.bfloat16)
 
+    # Params ride in the fori_loop carry (returned unchanged) rather than
+    # being closed over: closure-captured arrays embed as HLO constants,
+    # and SAM-L's 608 MB proto blows the remote-compile tunnel's request
+    # limit (HTTP 413). Explicit operands keep the proto at ~0.6 MB.
     def fwd(args):
         if args is None:
-            args = (x,)
-        (xx,) = args
+            args = (x, p)
+        xx, pp = args
         with Context(training=False):
-            y = enc(p, xx)
-        return (xx + (y.mean() * 0).astype(xx.dtype),)
+            y = enc(pp, xx)
+        return (xx + (y.mean() * 0).astype(xx.dtype), pp)
 
     s_fwd = slope(fwd)
     print(f"{name} encoder fwd: {s_fwd*1e3:.1f} ms/img "
@@ -77,11 +81,11 @@ def measure(name):
 
     def bwd(args):
         if args is None:
-            args = (x,)
-        (xx,) = args
-        g = grad(p, xx)
+            args = (x, p)
+        xx, pp = args
+        g = grad(pp, xx)
         leaf = jax.tree.leaves(g)[0]
-        return (xx + (leaf.mean() * 0).astype(xx.dtype),)
+        return (xx + (leaf.mean() * 0).astype(xx.dtype), pp)
 
     s_bwd = slope(bwd, n1=2, n2=6)
     print(f"{name} encoder bwd: {s_bwd*1e3:.1f} ms/img "
