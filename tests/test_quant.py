@@ -1,0 +1,185 @@
+"""Post-training int8 quantization (tfimm_tpu/quant.py).
+
+Beyond-parity surface — the reference has no quantization story (its closest
+knob is the mixed_float16 policy, tfimm/train/problems/classification.py:42-47).
+These tests pin the conversion contract: which kernels convert, numerical
+closeness to the fp32 model, Dense dispatch, serialization round-trip, and
+that every Pallas dispatch site declines quantized params (falls back to the
+XLA int8 path instead of reading a ``kernel`` that no longer exists).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfimm_tpu import create_model, load_model, quantize_int8, save_model
+from tfimm_tpu.ops.basic import Dense
+from tfimm_tpu.quant import DEFAULT_SKIP, int8_dense_matmul, is_quantized
+
+from tests.models.architectures import TEST_ARCHITECTURES  # noqa: F401 (registers)
+
+
+def _flat_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def test_dense_matmul_accuracy():
+    """Per-channel int8 weights + dynamic per-token activations stay within
+    ~1% relative error of the fp32 matmul on well-conditioned inputs."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 384)).astype(np.float32) * 0.02
+    x = rng.normal(size=(17, 256)).astype(np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    p = {"kernel_q": jnp.asarray(wq), "kernel_scale": jnp.asarray(scale)}
+    y = np.asarray(int8_dense_matmul(p, jnp.asarray(x)))
+    ref = x @ w
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 0.01, rel
+
+
+def test_quantize_selects_and_skips():
+    model = create_model("vit_test_model")
+    qp = quantize_int8(model.params, min_features=8)
+    flat = _flat_paths(qp)
+    # Attention/MLP Dense kernels converted...
+    assert ("blocks", "0", "attn", "qkv", "kernel_q") in flat
+    assert flat[("blocks", "0", "attn", "qkv", "kernel_q")].dtype == jnp.int8
+    assert ("blocks", "0", "mlp", "fc1", "kernel_scale") in flat
+    # ...classifier head and conv patch-embed stay float.
+    assert ("head", "kernel") in flat
+    assert not any("kernel_q" in path and "head" in path for path in flat)
+    assert flat[("patch_embed", "proj", "kernel")].ndim == 4  # conv untouched
+    # Biases untouched everywhere.
+    assert flat[("blocks", "0", "attn", "qkv", "bias")].dtype != jnp.int8
+    assert is_quantized(qp) and not is_quantized(model.params)
+
+
+def test_min_features_gate():
+    model = create_model("vit_test_model")  # embed_dim 8
+    qp = quantize_int8(model.params)  # default min_features=256
+    assert not is_quantized(qp)  # everything too small -> no-op
+    qp = quantize_int8(model.params, min_features=8)
+    assert is_quantized(qp)
+
+
+def test_skip_list_is_respected():
+    model = create_model("vit_test_model")
+    qp = quantize_int8(model.params, min_features=8, skip=("blocks",))
+    flat = _flat_paths(qp)
+    assert not any("kernel_q" in p and "blocks" in p for p in flat)
+    assert ("head", "kernel_q") in _flat_paths(
+        quantize_int8(model.params, min_features=8, skip=())
+    )
+
+
+def test_dense_dispatches_on_quantized_params():
+    layer = Dense(64, 128)
+    p = layer.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 64)), jnp.float32)
+    ref = np.asarray(layer(p, x))
+    pq = quantize_int8({"d": p}, min_features=64)["d"]
+    assert "kernel" not in pq and "kernel_q" in pq and "bias" in pq
+    out = np.asarray(layer(pq, x))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+
+# Families whose forward path has Pallas dispatch sites that read kernels
+# directly — each must decline quantized params and produce close outputs.
+_GATED = ["vit_test_model", "swin_test_model", "cait_test_model",
+          "convnext_test_model", "poolformer_test_model", "pvt_test_model",
+          "pvt_v2_test_model", "mixer_test_model", "pit_test_model"]
+
+
+@pytest.mark.parametrize("model_name", _GATED)
+def test_model_forward_close_to_fp32(model_name):
+    model = create_model(model_name)
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(size=model.dummy_inputs.shape),
+        jnp.float32)
+    ref = np.asarray(model(x))
+    qp = quantize_int8(model.params, min_features=4)
+    assert is_quantized(qp)
+    out = np.asarray(model(x, params=qp))
+    assert out.shape == ref.shape
+    assert np.all(np.isfinite(out))
+    # Tiny random models have near-zero logits; compare on absolute scale
+    # relative to the logit spread.
+    spread = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() / spread < 0.15
+
+
+def test_conv_mlp_1x1_quantization():
+    """1x1 ConvMLP kernels (PoolFormer/ConvNeXt conv-MLP) quantize and
+    dispatch through Conv2d's int8 matmul path."""
+    from tfimm_tpu.ops.mlp import ConvMLP
+
+    mlp = ConvMLP(16, 32)
+    p = mlp.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 4, 4, 16)),
+                    jnp.float32)
+    ref = np.asarray(mlp(p, x))
+    pq = quantize_int8({"mlp": p}, min_features=16)["mlp"]
+    assert pq["fc1"]["kernel_q"].shape == (16, 32)  # stored (in, out)
+    assert "kernel" not in pq["fc1"] and "kernel" not in pq["fc2"]
+    out = np.asarray(mlp(pq, x))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.05
+
+
+def test_non_mlp_1x1_convs_stay_float():
+    """SE gates / patch embeds / StdConv downsamples are never converted —
+    only fc1/fc2 conv positions are."""
+    model = create_model("resnet_test_model_deep")  # has SE attn layer
+    orig = _flat_paths(model.params)
+    qp = _flat_paths(quantize_int8(model.params, min_features=1))
+    for path, leaf in orig.items():
+        if path[-1] == "kernel" and leaf.ndim == 4 and path[-2] not in (
+                "fc1", "fc2"):
+            assert path in qp, path  # conv kernel still float at same path
+
+
+def test_save_load_roundtrip_preserves_int8(tmp_path):
+    model = create_model("vit_test_model")
+    model.params = quantize_int8(model.params, min_features=8)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(size=model.dummy_inputs.shape),
+        jnp.float32)
+    ref = np.asarray(model(x))
+    save_model(model, str(tmp_path / "m"))
+    loaded = load_model(str(tmp_path / "m"))
+    flat = _flat_paths(loaded.params)
+    assert flat[("blocks", "0", "attn", "qkv", "kernel_q")].dtype == jnp.int8
+    assert flat[("blocks", "0", "attn", "qkv", "kernel_scale")].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(loaded(x)), ref, atol=1e-6)
+
+
+def test_cast_after_quantize_is_harmless():
+    model = create_model("vit_test_model")
+    model.params = quantize_int8(model.params, min_features=8)
+    x = jnp.asarray(
+        np.random.default_rng(4).uniform(size=model.dummy_inputs.shape),
+        jnp.float32)
+    ref = np.asarray(model(x))
+    model.cast(jnp.bfloat16)
+    flat = _flat_paths(model.params)
+    assert flat[("blocks", "0", "attn", "qkv", "kernel_q")].dtype == jnp.int8
+    out = np.asarray(model(x.astype(jnp.bfloat16)))
+    assert np.all(np.isfinite(out))
+    spread = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out.astype(np.float32) - ref).max() / spread < 0.25
+
+
+def test_default_skip_names():
+    # The skip list must keep covering the registry's classifier names.
+    for name in ("head", "pre_logits", "head_dist", "classifier"):
+        assert any(s in name for s in DEFAULT_SKIP), name

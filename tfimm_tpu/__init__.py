@@ -27,6 +27,7 @@ from tfimm_tpu.models.factory import (  # noqa: F401
     transfer_weights,
 )
 from tfimm_tpu.models.serialization import load_model, save_model  # noqa: F401
+from tfimm_tpu.quant import quantize_int8  # noqa: F401
 from tfimm_tpu.models.embedding import EmbeddingModel  # noqa: F401
 from tfimm_tpu.utils.cache import (  # noqa: F401
     cached_model_path,

@@ -135,6 +135,8 @@ class TalkingHeadAttention:
 
         ctx = current_context()
         if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and "kernel_q" not in p["proj_l"]
+                and "kernel_q" not in p["proj_w"]
                 and not (ctx.training and self.attn_drop_rate > 0.0)):
             # Fused talking-head kernel: both (H, H) head mixes fold into
             # lane scalings of Q/V, so the (B, H, N, N) score tensor never

@@ -143,7 +143,8 @@ class ConvNeXtBlock:
             and self.act_name == "gelu"
 
     def __call__(self, p, x):
-        if self._use_fused_kernel(x):
+        quantized = "kernel_q" in p["mlp"]["fc1"]  # int8 params -> XLA path
+        if self._use_fused_kernel(x) and not quantized:
             from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block
 
             return fused_convnext_block(
@@ -155,7 +156,7 @@ class ConvNeXtBlock:
             )
         shortcut = x
         x = self.conv_dw(p["conv_dw"], x)
-        if self._mlp_kernel_ok():
+        if self._mlp_kernel_ok() and not quantized:
             from tfimm_tpu.ops.pallas.convnext_mlp import convnext_mlp_or_none
 
             out = convnext_mlp_or_none(

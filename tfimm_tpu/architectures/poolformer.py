@@ -82,6 +82,7 @@ class PoolFormerBlock:
         # one-program-per-image kernel. Opt-in for re-measurement.
         if (os.environ.get("TFIMM_TPU_FUSED_POOLFORMER", "0") == "1"
                 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and "kernel_q" not in p["mlp"]["fc1"]
                 and self.fusable and not is_training()):
             from tfimm_tpu.ops.pallas.poolformer_block import (
                 poolformer_block_or_none,

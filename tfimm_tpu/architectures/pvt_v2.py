@@ -159,6 +159,7 @@ class SpatialReductionAttentionV2:
         if (h == 1
                 and os.environ.get("TFIMM_TPU_FUSED_PVT_SRA", "0") == "1"
                 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
+                and "kernel_q" not in p["q"] and "kernel_q" not in p["proj"]
                 and not is_training()):
             from tfimm_tpu.ops.pallas.pvt_sra import sra_attention_or_none
 

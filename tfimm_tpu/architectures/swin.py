@@ -161,6 +161,7 @@ class WindowAttention:
         if (os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
                 and (jax.default_backend() == "tpu"
                      or os.environ.get("TFIMM_TPU_PALLAS_INTERPRET") == "1")
+                and "kernel_q" not in p["qkv"]  # int8 params -> XLA path
                 and not (ctx.training and self.attn_drop_rate > 0.0)):
             # Fused windowed-attention kernel: bias and shift mask are added
             # to the scores in VMEM, heads contract at full lane width
@@ -258,7 +259,7 @@ class SwinTransformerBlock:
         path). Returns None when the kernel dispatcher declines."""
         from tfimm_tpu.ops.pallas.swin_block import swin_block_padded_or_none
 
-        if not self.fused_block_ok:
+        if not self.fused_block_ok or "kernel_q" in p["attn"]["qkv"]:
             return None
         return swin_block_padded_or_none(
             p, wins_padded, self._rel_bias(p), self.attn_mask,
@@ -280,6 +281,7 @@ class SwinTransformerBlock:
                 and os.environ.get("TFIMM_TPU_NO_FUSED_BLOCK", "0") != "1"
                 and not current_context().training
                 and self.fused_block_ok
+                and "kernel_q" not in p["attn"]["qkv"]  # int8 -> XLA path
                 and h % ws == 0 and w % ws == 0):
             from tfimm_tpu.ops.pallas.swin_block import swin_block_or_none
 
@@ -378,9 +380,13 @@ class SwinTransformerStage:
         for i, blk in enumerate(self.blocks):
             if blk.window_size != ws or not blk.fused_block_ok:
                 return False
+            bp = p["blocks"][str(i)]
+            if ("kernel_q" in bp["attn"]["qkv"]
+                    or "kernel_q" in bp["mlp"]["fc1"]):
+                return False  # int8-quantized params -> XLA path
             has_mask = blk.attn_mask is not None
             nb_win = nb_windows if has_mask else 1
-            hidden = p["blocks"][str(i)]["mlp"]["fc1"]["kernel"].shape[1]
+            hidden = bp["mlp"]["fc1"]["kernel"].shape[1]
             if not padded_block_applies(b * nb_windows, n_pad, c,
                                         blk.attn.nb_heads, nb_win, has_mask,
                                         hidden, x.dtype):

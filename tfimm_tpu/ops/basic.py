@@ -84,7 +84,13 @@ class Dense:
         return p
 
     def __call__(self, p, x):
-        y = jnp.dot(x, p["kernel"].astype(x.dtype))
+        if "kernel_q" in p:
+            # int8-quantized kernel (tfimm_tpu.quant.quantize_int8):
+            # dynamic per-token activation quant + int8 MXU matmul.
+            from tfimm_tpu.quant import int8_dense_matmul
+            y = int8_dense_matmul(p, x)
+        else:
+            y = jnp.dot(x, p["kernel"].astype(x.dtype))
         if self.use_bias:
             y = y + p["bias"].astype(x.dtype)
         return y

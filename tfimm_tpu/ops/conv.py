@@ -100,9 +100,32 @@ class Conv2d:
         return p
 
     def _kernel(self, p, dtype):
+        if "kernel_q" in p:
+            # int8-quantized 1x1 kernel (tfimm_tpu.quant) on a geometry the
+            # fast path below declined: dequantize and convolve normally.
+            k = (p["kernel_q"].astype(jnp.float32)
+                 * p["kernel_scale"].astype(jnp.float32))
+            return k.reshape(self.kernel_shape).astype(dtype)
         return p["kernel"].astype(dtype)
 
+    def _int8_matmul_ok(self) -> bool:
+        """1x1/stride-1/ungrouped/undilated with no spatial padding — the
+        conv is exactly a feature-axis matmul."""
+        return (self.kernel_size == (1, 1) and self.stride == (1, 1)
+                and self.dilation == (1, 1) and self.groups == 1
+                and (self.padding in ("SAME", "VALID")
+                     or all(tuple(pad) == (0, 0) for pad in self.padding)))
+
     def __call__(self, p, x):
+        if "kernel_q" in p and self._int8_matmul_ok():
+            # int8 MXU path (tfimm_tpu.quant.quantize_int8): dynamic
+            # per-position activation quant + int8 matmul over channels.
+            from tfimm_tpu.quant import int8_dense_matmul
+
+            y = int8_dense_matmul(p, x)
+            if self.use_bias:
+                y = y + p["bias"].astype(y.dtype)
+            return y
         y = jax.lax.conv_general_dilated(
             x,
             self._kernel(p, x.dtype),

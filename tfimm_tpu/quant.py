@@ -1,0 +1,136 @@
+"""Post-training int8 quantization for inference.
+
+v5e's MXU runs int8 matmuls at ~2x the bf16 rate (394 vs 197 TOPS).
+``quantize_int8`` converts the 2-D ``Dense`` kernels of a parameter pytree
+(and 1x1 ConvMLP kernels, which are matmuls in disguise) to symmetric
+per-output-channel int8 (weights static) and ``Dense``/``Conv2d``
+dispatch on the converted dict: activations are quantized dynamically
+per token (symmetric absmax over the feature axis), the matmul runs
+int8 x int8 -> int32 on the MXU, and the result is rescaled to the
+activation dtype.  Measured at ViT-B bs128 shapes on v5e
+(scripts/perf/exp_int8.py, results/int8_matmul.csv): qkv 2.2x, fc1 1.4x,
+proj 1.3x, fc2 1.1x vs the shipping bf16 matmuls, including the dynamic
+quantization overhead.
+
+This is beyond-parity surface: the reference has no quantization story
+(its closest knob is the mixed_float16 policy,
+/root/reference/tfimm/train/problems/classification.py:42-47).
+
+Design notes:
+
+- Weights are quantized offline, once, per output channel; the classifier
+  head (and other name-matched projections) stay in floating point by
+  default — the head matmul is a negligible share of the FLOPs and the
+  logit layer is the most accuracy-sensitive.
+- Activation scales are computed on the fly (dynamic quantization), so no
+  calibration data is needed and the scheme is shape/model agnostic.
+- Kernels smaller than ``min_features`` on either axis are left alone:
+  the dynamic-quant overhead only pays for itself on MXU-bound shapes.
+- The converted pytree round-trips through ``save_model``/``load_model``
+  (npz preserves dtypes) and ``tree_cast`` leaves the int8 leaves alone.
+  ``Dense`` reads ``kernel_scale`` in float32 regardless of any later
+  cast, so a ``model.cast(bf16)`` after quantization is harmless.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize_int8", "int8_dense_matmul", "is_quantized"]
+
+# Substrings of parameter-tree keys whose Dense kernels are never
+# quantized. Classifier heads are excluded for accuracy (and are a
+# negligible share of model FLOPs).
+DEFAULT_SKIP: Tuple[str, ...] = (
+    "head", "pre_logits", "classifier", "fc_dist", "last_linear",
+)
+
+
+def int8_dense_matmul(p, x):
+    """Dynamic-activation int8 matmul for a quantized Dense param dict.
+
+    ``x``: (..., in) float array. ``p["kernel_q"]``: (in, out) int8.
+    ``p["kernel_scale"]``: (out,) per-channel weight scale. Returns
+    (..., out) in ``x.dtype`` (no bias — the caller adds it).
+    """
+    wq = p["kernel_q"]
+    ws = p["kernel_scale"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(s, 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * s * ws).astype(x.dtype)
+
+
+def is_quantized(params) -> bool:
+    """True if any Dense kernel in the pytree has been int8-quantized."""
+    found = [False]
+
+    def walk(d):
+        if isinstance(d, dict):
+            if "kernel_q" in d:
+                found[0] = True
+            for v in d.values():
+                walk(v)
+
+    walk(params)
+    return found[0]
+
+
+def quantize_int8(params, *, min_features: int = 256,
+                  skip: Tuple[str, ...] = DEFAULT_SKIP):
+    """Return a copy of ``params`` with eligible Dense kernels in int8.
+
+    A param dict is eligible when it holds a 2-D ``kernel`` (Dense) — or a
+    (1, 1, in, out) conv kernel at a ConvMLP position (path ends in
+    ``fc1``/``fc2``; a 1x1 conv is a matmul) — whose channel dims are both
+    >= ``min_features`` and no component of its tree path contains a
+    substring from ``skip``. The kernel is replaced by ``kernel_q`` (int8,
+    always stored (in, out)) + ``kernel_scale`` (float32, per output
+    channel); biases and all other leaves are untouched. ``Dense.__call__``
+    and ``Conv2d.__call__`` dispatch on ``kernel_q``.
+    """
+
+    def eligible(d, path) -> bool:
+        k = d.get("kernel")
+        if k is None or not hasattr(k, "ndim"):
+            return False
+        if k.ndim == 4:
+            # 1x1 convs are matmuls; convert only ConvMLP positions (fc1/
+            # fc2) — other 1x1s (SE gates, StdConv downsamples, patch
+            # embeds) are read raw by specialised layers.
+            if (k.shape[0] != 1 or k.shape[1] != 1
+                    or not path or path[-1] not in ("fc1", "fc2")):
+                return False
+        elif k.ndim != 2:
+            return False
+        if min(k.shape[-2:]) < min_features:
+            return False
+        return not any(s in comp for comp in path for s in skip)
+
+    def convert_kernel(k):
+        w = jnp.asarray(k, jnp.float32)
+        if w.ndim == 4:  # (1, 1, in, out) -> (in, out)
+            w = w.reshape(w.shape[2], w.shape[3])
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w / scale), -127.0, 127.0).astype(jnp.int8)
+        return wq, scale
+
+    def walk(d, path):
+        if not isinstance(d, dict):
+            return d
+        out = {key: walk(v, path + (key,)) for key, v in d.items()}
+        if eligible(d, path):
+            wq, scale = convert_kernel(out.pop("kernel"))
+            out["kernel_q"] = wq
+            out["kernel_scale"] = scale
+        return out
+
+    return walk(params, ())
