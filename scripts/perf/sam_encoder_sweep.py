@@ -24,18 +24,21 @@ OUT = os.path.join(ROOT, "results", "v5e_zoo.csv")
 def slope(fn, n1=3, n2=10):
     args = fn(None)
 
-    def run(n):
+    # ``args`` (the full param tree) must be an explicit operand: a
+    # closure-captured initial carry embeds every leaf as an HLO constant
+    # and SAM-L's 608 MB proto blows the remote-compile tunnel's request
+    # limit (HTTP 413). As an operand the proto is <1 MB.
+    def run(n, a):
         def body(_, c):
             return fn(c)
-        a = jax.lax.fori_loop(0, n, body, args)
-        return a
+        return jax.lax.fori_loop(0, n, body, a)
 
     run_j = jax.jit(run, static_argnums=0)
-    np.asarray(run_j(2)[0].mean())
+    np.asarray(run_j(2, args)[0].mean())
 
     def timed(n):
         t0 = time.perf_counter()
-        np.asarray(run_j(n)[0].mean())
+        np.asarray(run_j(n, args)[0].mean())
         return time.perf_counter() - t0
 
     t1, t2 = timed(n1), timed(n2)
