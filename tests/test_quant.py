@@ -179,6 +179,16 @@ def test_cast_after_quantize_is_harmless():
     assert np.abs(out.astype(np.float32) - ref).max() / spread < 0.25
 
 
+def test_transfer_weights_rejects_quantized_source():
+    from tfimm_tpu import transfer_weights
+
+    src = create_model("vit_test_model")
+    src.params = quantize_int8(src.params, min_features=8)
+    dst = create_model("vit_test_model", nb_classes=7)
+    with pytest.raises(ValueError, match="quantized"):
+        transfer_weights(src, dst)
+
+
 def test_default_skip_names():
     # The skip list must keep covering the registry's classifier names.
     for name in ("head", "pre_logits", "head_dist", "classifier"):

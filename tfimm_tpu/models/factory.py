@@ -161,6 +161,16 @@ def transfer_weights(src_model, dst_model,
     - ``cfg.transform_weights`` hooks ``fn(src_model, weight, dst_cfg)`` for
       shape-dependent params (e.g. position-embedding interpolation).
     """
+    from tfimm_tpu.quant import is_quantized
+
+    if is_quantized(src_model.params):
+        # Quantized trees store kernel_q/kernel_scale, not kernel — the
+        # name-matched copy below would silently keep every destination
+        # kernel at its fresh initialization.
+        raise ValueError(
+            "transfer_weights does not support int8-quantized source "
+            "params; transfer the float params, then quantize_int8 the "
+            "destination.")
     src_flat = flatten_params(src_model.params)
     dst_flat = flatten_params(dst_model.params)
     ignore = set(weights_to_ignore or [])
