@@ -21,9 +21,7 @@ import numpy as np
 OUT = os.path.join(ROOT, "results", "v5e_zoo.csv")
 
 
-def slope(fn, n1=3, n2=10):
-    args = fn(None)
-
+def slope(fn, args, n1=3, n2=10):
     # ``args`` (the full param tree) must be an explicit operand: a
     # closure-captured initial carry embeds every leaf as an HLO constant
     # and SAM-L's 608 MB proto blows the remote-compile tunnel's request
@@ -34,7 +32,11 @@ def slope(fn, n1=3, n2=10):
         return jax.lax.fori_loop(0, n, body, a)
 
     run_j = jax.jit(run, static_argnums=0)
-    np.asarray(run_j(2, args)[0].mean())
+    # Warm BOTH loop lengths: each static n is its own executable, and a
+    # first call pays a multi-minute remote compile — timing it poisons
+    # the slope (observed: sam_vit_l "6390 ms/img").
+    for n in (n1, n2):
+        np.asarray(run_j(n, args)[0].mean())
 
     def timed(n):
         t0 = time.perf_counter()
@@ -64,15 +66,15 @@ def measure(name):
     # being closed over: closure-captured arrays embed as HLO constants,
     # and SAM-L's 608 MB proto blows the remote-compile tunnel's request
     # limit (HTTP 413). Explicit operands keep the proto at ~0.6 MB.
+    # ``fn`` is only ever called inside jit: an eager call materializes
+    # every intermediate at once and OOMs the chip on SAM-H's backward.
     def fwd(args):
-        if args is None:
-            args = (x, p)
         xx, pp = args
         with Context(training=False):
             y = enc(pp, xx)
         return (xx + (y.mean() * 0).astype(xx.dtype), pp)
 
-    s_fwd = slope(fwd)
+    s_fwd = slope(fwd, (x, p))
     print(f"{name} encoder fwd: {s_fwd*1e3:.1f} ms/img "
           f"({1/s_fwd:.2f} img/s)", flush=True)
 
@@ -83,14 +85,12 @@ def measure(name):
     grad = jax.grad(loss)
 
     def bwd(args):
-        if args is None:
-            args = (x, p)
         xx, pp = args
         g = grad(pp, xx)
         leaf = jax.tree.leaves(g)[0]
         return (xx + (leaf.mean() * 0).astype(xx.dtype), pp)
 
-    s_bwd = slope(bwd, n1=2, n2=6)
+    s_bwd = slope(bwd, (x, p), n1=2, n2=6)
     print(f"{name} encoder bwd: {s_bwd*1e3:.1f} ms/img "
           f"({1/s_bwd:.2f} img/s)", flush=True)
     return 1 / s_fwd, 1 / s_bwd

@@ -179,6 +179,48 @@ def test_cast_after_quantize_is_harmless():
     assert np.abs(out.astype(np.float32) - ref).max() / spread < 0.25
 
 
+def test_ste_gradient_flows_through_quantized_dense():
+    """round/clip would give a silent zero activation gradient; the STE
+    custom VJP backprops through the dequantized weights instead."""
+    layer = Dense(64, 128)
+    p = layer.init(jax.random.PRNGKey(1))
+    pq = quantize_int8({"d": p}, min_features=64)["d"]
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(5, 64)), jnp.float32)
+
+    gq = jax.grad(lambda xx: layer(pq, xx).sum())(x)
+    w_deq = np.asarray(pq["kernel_q"], np.float32) * np.asarray(
+        pq["kernel_scale"])
+    g_ref = np.ones((5, 128), np.float32) @ w_deq.T
+    assert np.abs(np.asarray(gq)).max() > 0  # not silently killed
+    np.testing.assert_allclose(np.asarray(gq), g_ref, rtol=1e-4, atol=1e-4)
+
+    # Bias gradient still flows (added outside the custom-VJP matmul).
+    gb = jax.grad(lambda pp: layer({**pq, "bias": pp}, x).sum())(p["bias"])
+    np.testing.assert_allclose(np.asarray(gb), 5.0 * np.ones(128), rtol=1e-5)
+
+
+def test_finetune_head_on_quantized_backbone():
+    """One optimizer step on the float head of an int8-quantized model
+    moves the loss — the QAT-style use case."""
+    import optax
+
+    model = create_model("vit_test_model", nb_classes=4)
+    qp = quantize_int8(model.params, min_features=8)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(2,) + model.dummy_inputs.shape[1:]),
+        jnp.float32)
+    y = jnp.asarray([0, 3])
+
+    def loss_fn(head):
+        logits = model.apply({**qp, "head": head}, x, training=False)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    g = jax.grad(loss_fn)(qp["head"])
+    assert float(jnp.abs(g["kernel"]).max()) > 0
+    head2 = jax.tree.map(lambda a, b: a - 0.5 * b, qp["head"], g)
+    assert float(loss_fn(head2)) < float(loss_fn(qp["head"]))
+
+
 def test_transfer_weights_rejects_quantized_source():
     from tfimm_tpu import transfer_weights
 

@@ -38,6 +38,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["quantize_int8", "int8_dense_matmul", "is_quantized"]
 
@@ -49,12 +50,19 @@ DEFAULT_SKIP: Tuple[str, ...] = (
 )
 
 
+@jax.custom_vjp
 def int8_dense_matmul(p, x):
     """Dynamic-activation int8 matmul for a quantized Dense param dict.
 
     ``x``: (..., in) float array. ``p["kernel_q"]``: (in, out) int8.
     ``p["kernel_scale"]``: (out,) per-channel weight scale. Returns
     (..., out) in ``x.dtype`` (no bias — the caller adds it).
+
+    Differentiable via a straight-through estimator: ``round``/``clip``
+    have zero gradient, so tracing the forward through AD would silently
+    kill the activation gradient. The custom VJP backpropagates through
+    the dequantized weights instead (standard QAT practice), so e.g.
+    fine-tuning float layers on top of a frozen int8 backbone works.
     """
     wq = p["kernel_q"]
     ws = p["kernel_scale"].astype(jnp.float32)
@@ -67,6 +75,28 @@ def int8_dense_matmul(p, x):
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * s * ws).astype(x.dtype)
+
+
+def _int8_fwd(p, x):
+    return int8_dense_matmul(p, x), (p, x)
+
+
+def _int8_bwd(res, g):
+    p, x = res
+    w = (p["kernel_q"].astype(jnp.float32)
+         * p["kernel_scale"].astype(jnp.float32)).astype(g.dtype)
+    gx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))).astype(x.dtype)
+    # The int8 weights are frozen: int leaves take float0 cotangents,
+    # the float scale a zero.
+    gp = {k: (np.zeros(v.shape, jax.dtypes.float0)
+              if not jnp.issubdtype(v.dtype, jnp.inexact)
+              else jnp.zeros_like(v))
+          for k, v in p.items()}
+    return gp, gx
+
+
+int8_dense_matmul.defvjp(_int8_fwd, _int8_bwd)
 
 
 def is_quantized(params) -> bool:
