@@ -21,7 +21,6 @@ import sys
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, ROOT)
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
