@@ -221,6 +221,27 @@ def test_finetune_head_on_quantized_backbone():
     assert float(loss_fn(head2)) < float(loss_fn(qp["head"]))
 
 
+def test_lora_layers_are_not_quantized():
+    """LoRA param dicts read ``kernel`` directly; quantization must skip
+    them (quantize after merging instead)."""
+    from tfimm_tpu.architectures import lora
+
+    base = create_model(
+        "convnext_tiny", input_size=(32, 32), patch_size=4,
+        embed_dim=(4, 4, 4, 4), nb_blocks=(1, 1, 1, 1), nb_classes=5)
+    model = lora.convert_to_lora_model(base, lora_rank=2)
+    qp = quantize_int8(model.params, min_features=1, skip=())
+    flat = _flat_paths(qp)
+    lora_parents = {p[:-1] for p in flat if p[-1] == "kernel_lora_a"}
+    assert lora_parents  # the conversion did produce LoRA layers
+    for parent in lora_parents:
+        assert parent + ("kernel",) in flat, parent
+    # The model still runs with the partially quantized tree.
+    x = jnp.asarray(
+        np.random.default_rng(8).uniform(size=(1, 32, 32, 3)), jnp.float32)
+    assert np.all(np.isfinite(np.asarray(model(x, params=qp))))
+
+
 def test_transfer_weights_rejects_quantized_source():
     from tfimm_tpu import transfer_weights
 

@@ -132,6 +132,10 @@ def quantize_int8(params, *, min_features: int = 256,
         k = d.get("kernel")
         if k is None or not hasattr(k, "ndim"):
             return False
+        if "kernel_lora_a" in d:
+            # LoRA layers read p["kernel"] directly (the low-rank update
+            # adds onto it); quantize after merge_lora_weights instead.
+            return False
         if k.ndim == 4:
             # 1x1 convs are matmuls; convert only ConvMLP positions (fc1/
             # fc2) — other 1x1s (SE gates, StdConv downsamples, patch
