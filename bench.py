@@ -9,7 +9,8 @@ criterion BASELINE.json actually sets.
 Runs bf16 on the TPU chip (the TPU-native deployment dtype); fp32 params are
 cast, compute follows.
 
-Timing methodology (both steps matter through the axon remote-TPU tunnel):
+Timing methodology (all three steps matter through the axon remote-TPU
+tunnel):
   1. The whole loop runs on-device inside one jitted fori_loop with a data
      dependency between iterations and only a SCALAR fetched back — naive
      per-call block_until_ready timing measured "1.3M img/s" here (~240x
@@ -19,6 +20,20 @@ Timing methodology (both steps matter through the axon remote-TPU tunnel):
      call carries a fixed ~60 ms dispatch+readback overhead through the
      tunnel (measured: the same per-iteration body costs "4.2 ms" at n=20
      but "1.8 ms" at n=100), which the difference cancels exactly.
+  3. MEDIAN OF K INDEPENDENT SLOPE SAMPLES (round 5). One slope sample is
+     one-sided fragile: a transient stall in the 1.7 s long leg inflates
+     the slope and nothing detects it — a single ~300 ms tunnel stall
+     reproduces BENCH_r04's 18% ViT-B dip exactly (3,776 vs 4,603 while
+     ConvNeXt-B and ViT-backprop in the SAME run matched the committed
+     numbers to 1.2%, ruling out uniform degradation or contention).
+     The headline takes 5 samples; the JSON carries the raw samples,
+     their relative spread, and the middle-3 core spread so a reader can
+     tell a clean run from a stall-contaminated one.
+
+Every throughput line also carries the Pallas kernel-dispatch fingerprint
+captured at trace time (which kernel bodies were selected), so an
+environment-sensitive dispatch difference is distinguishable from a slow
+transport after the fact.
 """
 
 import csv
@@ -59,24 +74,43 @@ VIT_B16_FLOPS = _flops_per_image("vit_base_patch16_224", 17.84e9)
 CONVNEXT_B_FLOPS = _flops_per_image("convnext_base", 15.96e9)
 
 
-def _throughput(name, batch_size=128):
-    """Slope-timed inference throughput — the shared implementation in
+def _throughput(name, batch_size=128, target="inference", samples=5,
+                nb_batches=12, training=False):
+    """Slope-timed throughput — the shared implementation in
     utils/profile.py (one jitted fori_loop with a data dependency, traced
-    count, differential timing, positive-slope retries). bench.py and every
-    published CSV must time the same way; a second copy here drifted from
-    time_model once (tuple outputs) before being consolidated."""
+    count, differential timing, positive-slope retries, median of
+    ``samples`` independent slopes). bench.py and every published CSV must
+    time the same way; a second copy here drifted from time_model once
+    (tuple outputs) before being consolidated.
+
+    Returns (median_rate, stats) where stats carries the raw samples, their
+    spread, and the Pallas kernel-dispatch fingerprint of the trace."""
+    from tfimm_tpu.ops.pallas.dispatch import capture_dispatches
     from tfimm_tpu.utils.profile import time_model
 
-    return time_model(name, target="inference", batch_size=batch_size,
-                      nb_batches=12)
+    with capture_dispatches() as kernels:
+        rate, stats = time_model(name, target=target, batch_size=batch_size,
+                                 nb_batches=nb_batches, samples=samples,
+                                 training=training, return_stats=True)
+    stats["kernels"] = sorted(kernels)
+    raw = sorted(stats["samples"])
+    if len(raw) >= 5:  # spread of the middle 3: robust to 1-2 stalled legs
+        core = raw[1:-1]
+        stats["spread_core_rel"] = round(
+            (core[-1] - core[0]) / (sum(core) / len(core)), 4)
+    return rate, stats
 
 
 def main():
-    img_per_sec = _throughput("vit_base_patch16_224")
+    img_per_sec, stats = _throughput("vit_base_patch16_224", samples=5)
     result = {
         "metric": "vit_base_patch16_224_inference_bs128",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
+        "samples": stats["samples"],
+        "spread_rel": stats["spread_rel"],
+        "spread_core_rel": stats.get("spread_core_rel"),
+        "kernels": stats["kernels"],
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
         "roofline_fraction": round(
             img_per_sec * VIT_B16_FLOPS / V5E_BF16_PEAK, 3
@@ -106,8 +140,12 @@ def main():
         ("convnext_base", "convnext_base_img_per_sec", CONVNEXT_B_FLOPS),
     ]:
         try:
-            rate = _throughput(name)
+            rate, cn_stats = _throughput(name, samples=3)
             result[key] = round(rate, 2)
+            result[key.replace("_img_per_sec", "_samples")] = (
+                cn_stats["samples"])
+            result[key.replace("_img_per_sec", "_kernels")] = (
+                cn_stats["kernels"])
             result[key.replace("_img_per_sec", "_roofline_fraction")] = round(
                 rate * flops / V5E_BF16_PEAK, 3)
             # Decomposition-backed (results/README.md): the 7x7 depthwise
@@ -127,11 +165,12 @@ def main():
     # ViT-B backprop @bs64 — BASELINE.md calls the backprop V100 columns the
     # trustworthy comparison. Roofline uses 3x forward FLOPs (1:2 fwd:bwd).
     try:
-        from tfimm_tpu.utils.profile import time_model
-
-        rate = time_model("vit_base_patch16_224", target="backprop",
-                          batch_size=64, nb_batches=3)
+        rate, bwd_stats = _throughput("vit_base_patch16_224",
+                                      target="backprop", batch_size=64,
+                                      nb_batches=3, samples=5)
         result["vit_base_backprop_img_per_sec"] = round(rate, 2)
+        result["vit_base_backprop_samples"] = bwd_stats["samples"]
+        result["vit_base_backprop_kernels"] = bwd_stats["kernels"]
         result["vit_base_backprop_vs_v100_fp32"] = round(rate / 92.36, 2)
         result["vit_base_backprop_roofline_fraction"] = round(
             rate * 3 * VIT_B16_FLOPS / V5E_BF16_PEAK, 3)
@@ -148,6 +187,21 @@ def main():
             "attention kernel at its measured fwd+bwd floor "
             "(0.689 ms/layer, already below XLA's 0.719 matmuls-only "
             "floor — results/attn_floor.csv)")
+    except Exception:
+        pass
+    # Train-mode backprop (round 5): the reference times training=True
+    # (tfimm/utils/profile.py:97) — drop-path/dropout active, BN on batch
+    # stats with running-stat merges. Published alongside the BN-stable
+    # column so vs-V100-backprop comparisons are apples-to-apples
+    # (docs/profiling.md explains both modes).
+    try:
+        rate, tr_stats = _throughput("vit_base_patch16_224",
+                                     target="backprop", batch_size=64,
+                                     nb_batches=3, samples=3, training=True)
+        result["vit_base_backprop_train_img_per_sec"] = round(rate, 2)
+        result["vit_base_backprop_train_samples"] = tr_stats["samples"]
+        result["vit_base_backprop_train_vs_v100_fp32"] = round(
+            rate / 92.36, 2)
     except Exception:
         pass
     print(json.dumps(result))

@@ -256,3 +256,104 @@ def test_default_skip_names():
     # The skip list must keep covering the registry's classifier names.
     for name in ("head", "pre_logits", "head_dist", "classifier"):
         assert any(s in name for s in DEFAULT_SKIP), name
+
+
+def test_se_gate_orientation_never_quantized():
+    """SEModule names its 1x1 convs fc1/fc2 (ops/se.py:26-27) but is a
+    reduce->expand bottleneck driving a sigmoid gate; even when a huge SE
+    bottleneck clears min_features it must stay float. ConvMLP (expand->
+    contract) at the same names does convert."""
+    rng = jax.random.PRNGKey(0)
+    se = {"fc1": {"kernel": jax.random.normal(rng, (1, 1, 512, 64))},
+          "fc2": {"kernel": jax.random.normal(rng, (1, 1, 64, 512))}}
+    mlp = {"fc1": {"kernel": jax.random.normal(rng, (1, 1, 64, 512))},
+           "fc2": {"kernel": jax.random.normal(rng, (1, 1, 512, 64))}}
+    qp = quantize_int8({"se": se, "mlp": mlp}, min_features=64)
+    assert "kernel" in qp["se"]["fc1"] and "kernel_q" not in qp["se"]["fc1"]
+    assert "kernel" in qp["se"]["fc2"] and "kernel_q" not in qp["se"]["fc2"]
+    assert "kernel_q" in qp["mlp"]["fc1"]
+    assert "kernel_q" in qp["mlp"]["fc2"]
+
+
+def test_tree_cast_preserves_kernel_scale_f32():
+    """model.cast(bf16) after quantize_int8 must be lossless for the
+    scales: tree_cast leaves kernel_scale leaves at float32 (a bf16
+    round-trip would permanently quantize the per-channel scales)."""
+    from tfimm_tpu.utils.tree import tree_cast
+
+    scale = jnp.asarray([1.0 + 2 ** -12], jnp.float32)  # not bf16-exact
+    tree = {"d": {"kernel_q": jnp.zeros((4, 4), jnp.int8),
+                  "kernel_scale": scale,
+                  "bias": jnp.zeros((4,), jnp.float32)}}
+    out = tree_cast(tree, jnp.bfloat16)
+    assert out["d"]["kernel_scale"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out["d"]["kernel_scale"]),
+                                  np.asarray(scale))
+    assert out["d"]["bias"].dtype == jnp.bfloat16
+    assert out["d"]["kernel_q"].dtype == jnp.int8
+
+
+@pytest.mark.parametrize("skip_extra", [("qkv",), ("fc1",), ("fc2",)])
+def test_partial_quantization_declines_fused_swin(monkeypatch, skip_extra):
+    """The fused Swin block kernel reads qkv AND proj AND fc1 AND fc2 raw;
+    a skip list that quantizes any subset must route the block to the XLA
+    path instead of KeyError-ing at trace time (ADVICE r4). Geometry here
+    QUALIFIES for the fused kernel (head_dim 32/16), so only the
+    any_quantized gate stands between the partial tree and the crash."""
+    from tfimm_tpu.architectures.swin import SwinTransformer, SwinTransformerConfig
+
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    cfg = SwinTransformerConfig(
+        name="swin_quant_gate_model", input_size=(32, 32), patch_size=4,
+        embed_dim=64, nb_blocks=(1, 1), nb_heads=(2, 4), window_size=4,
+        nb_classes=5)
+    model = SwinTransformer(cfg)
+    model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(2, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(model(x))
+    qp = quantize_int8(model.params, min_features=1,
+                       skip=DEFAULT_SKIP + skip_extra)
+    assert is_quantized(qp)
+    out = np.asarray(model(x, params=qp))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.25
+
+
+def test_partial_quantization_declines_fused_convnext(monkeypatch):
+    """ConvNeXt's fused LN+MLP kernel reads fc1 AND fc2 raw; quantizing
+    only fc2 (skip fc1) must fall back to XLA, not KeyError."""
+    from tfimm_tpu.architectures.convnext import ConvNeXt, ConvNeXtConfig
+
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    cfg = ConvNeXtConfig(
+        name="convnext_quant_gate_model", input_size=(32, 32), patch_size=4,
+        embed_dim=(128,), nb_blocks=(1,), nb_classes=5)
+    model = ConvNeXt(cfg)
+    model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(10).uniform(size=(2, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(model(x))
+    qp = quantize_int8(model.params, min_features=1,
+                       skip=DEFAULT_SKIP + ("fc1",))
+    assert is_quantized(qp)
+    out = np.asarray(model(x, params=qp))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.25
+
+
+def test_partial_quantization_declines_fused_poolformer(monkeypatch):
+    """PoolFormer's opt-in fused block reads fc1 AND fc2 raw; with the
+    kernel enabled and only fc2 quantized the gate must decline."""
+    monkeypatch.setenv("TFIMM_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("TFIMM_TPU_FUSED_POOLFORMER", "1")
+    model = create_model("poolformer_test_model")
+    x = jnp.asarray(
+        np.random.default_rng(11).uniform(size=(2, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(model(x))
+    qp = quantize_int8(model.params, min_features=1,
+                       skip=DEFAULT_SKIP + ("fc1",))
+    assert is_quantized(qp)
+    out = np.asarray(model(x, params=qp))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.25

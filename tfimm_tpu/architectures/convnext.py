@@ -143,7 +143,12 @@ class ConvNeXtBlock:
             and self.act_name == "gelu"
 
     def __call__(self, p, x):
-        quantized = "kernel_q" in p["mlp"]["fc1"]  # int8 params -> XLA path
+        from tfimm_tpu.quant import any_quantized
+
+        # int8 params -> XLA path. The fused paths read BOTH MLP kernels
+        # raw, and a custom quantize_int8 skip list can quantize either
+        # subset, so gate on both.
+        quantized = any_quantized(p["mlp"]["fc1"], p["mlp"]["fc2"])
         if self._use_fused_kernel(x) and not quantized:
             from tfimm_tpu.ops.pallas.convnext_block import fused_convnext_block
 

@@ -80,9 +80,12 @@ class PoolFormerBlock:
         # XLA at every stage, scripts/perf/exp_stage1.py) — XLA's own fusion
         # of the pool/norm/MLP chain plus pipelined scheduling beats the
         # one-program-per-image kernel. Opt-in for re-measurement.
+        from tfimm_tpu.quant import any_quantized
+
         if (os.environ.get("TFIMM_TPU_FUSED_POOLFORMER", "0") == "1"
                 and os.environ.get("TFIMM_TPU_NO_FLASH", "0") != "1"
-                and "kernel_q" not in p["mlp"]["fc1"]
+                # the kernel reads both MLP kernels raw — gate on both
+                and not any_quantized(p["mlp"]["fc1"], p["mlp"]["fc2"])
                 and self.fusable and not is_training()):
             from tfimm_tpu.ops.pallas.poolformer_block import (
                 poolformer_block_or_none,

@@ -33,6 +33,7 @@ from tfimm_tpu.ops import (
     trunc_normal,
 )
 from tfimm_tpu.ops.stochastic import drop_path, dropout
+from tfimm_tpu.quant import any_quantized as _any_quantized
 from tfimm_tpu.utils.constants import IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
 
 __all__ = ["SwinTransformer", "SwinTransformerConfig", "window_partition",
@@ -259,7 +260,12 @@ class SwinTransformerBlock:
         path). Returns None when the kernel dispatcher declines."""
         from tfimm_tpu.ops.pallas.swin_block import swin_block_padded_or_none
 
-        if not self.fused_block_ok or "kernel_q" in p["attn"]["qkv"]:
+        # Gate on EVERY param dict the fused kernel reads raw (qkv, proj,
+        # fc1, fc2 — ops/pallas/swin_block.py _prep_params), not just qkv:
+        # a custom quantize_int8 skip list can quantize any subset.
+        if not self.fused_block_ok or _any_quantized(
+                p["attn"]["qkv"], p["attn"]["proj"],
+                p["mlp"]["fc1"], p["mlp"]["fc2"]):
             return None
         return swin_block_padded_or_none(
             p, wins_padded, self._rel_bias(p), self.attn_mask,
@@ -281,7 +287,9 @@ class SwinTransformerBlock:
                 and os.environ.get("TFIMM_TPU_NO_FUSED_BLOCK", "0") != "1"
                 and not current_context().training
                 and self.fused_block_ok
-                and "kernel_q" not in p["attn"]["qkv"]  # int8 -> XLA path
+                # int8 -> XLA path; check every dict the kernel reads raw
+                and not _any_quantized(p["attn"]["qkv"], p["attn"]["proj"],
+                                       p["mlp"]["fc1"], p["mlp"]["fc2"])
                 and h % ws == 0 and w % ws == 0):
             from tfimm_tpu.ops.pallas.swin_block import swin_block_or_none
 
@@ -381,8 +389,8 @@ class SwinTransformerStage:
             if blk.window_size != ws or not blk.fused_block_ok:
                 return False
             bp = p["blocks"][str(i)]
-            if ("kernel_q" in bp["attn"]["qkv"]
-                    or "kernel_q" in bp["mlp"]["fc1"]):
+            if _any_quantized(bp["attn"]["qkv"], bp["attn"]["proj"],
+                              bp["mlp"]["fc1"], bp["mlp"]["fc2"]):
                 return False  # int8-quantized params -> XLA path
             has_mask = blk.attn_mask is not None
             nb_win = nb_windows if has_mask else 1
@@ -477,6 +485,9 @@ class SwinTransformerStage:
                 and self.blocks):
             out = self._window_resident_diff(p, x)
             if out is not None:
+                from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+                log_dispatch("swin_window_resident_stage")
                 if self.downsample is not None:
                     return self.downsample(p["downsample"], out)
                 return out

@@ -533,5 +533,8 @@ def talking_head_attention_or_none(qkv, w_l, b_l, w_w, b_w, *,
     # results/stacked_experiment.csv).
     if vmem > _VMEM_LIMIT_BYTES:
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch("cait_talking_head")
     return talking_head_diff(qkv, w_l, b_l, w_w, b_w, nb_heads, scale,
                              interpret)

@@ -234,6 +234,9 @@ def convnext_mlp_or_none(x, shortcut, ln_scale, ln_bias, w1, b1, w2, b2,
         return None
     if _pick_blocks(m, c, hidden, jnp.dtype(x.dtype).itemsize) is None:
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch("convnext_mlp")
     out = convnext_mlp_diff(x.reshape(m, c), shortcut.reshape(m, c),
                             ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                             eps, interpret)

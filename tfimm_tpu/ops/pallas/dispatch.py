@@ -8,14 +8,50 @@ the architectures, not just the kernel math).
 
 from __future__ import annotations
 
+import contextlib
 import os
+from typing import Optional, Set
 
 import jax
 
 __all__ = ["on_tpu", "interpret_forced", "softmax_nomax",
-           "softmax_clamp_grad_mask", "SOFTMAX_CLAMP"]
+           "softmax_clamp_grad_mask", "SOFTMAX_CLAMP",
+           "log_dispatch", "capture_dispatches"]
 
 SOFTMAX_CLAMP = 80.0
+
+# -- dispatch fingerprinting -------------------------------------------------
+# Which Pallas kernel bodies a trace actually selected. A benchmark number
+# without this is ambiguous: an environment-sensitive dispatch difference
+# (env toggle, backend detection, VMEM gate) is indistinguishable from a slow
+# transport after the fact (BENCH_r04's 18% ViT-B spread). Capture is
+# trace-time only and off by default, so it costs nothing in production.
+
+_dispatch_log: Optional[Set[str]] = None
+
+
+def log_dispatch(name: str) -> None:
+    """Record that a dispatcher committed to a kernel path (no-op unless a
+    ``capture_dispatches`` block is active). Called at trace time."""
+    if _dispatch_log is not None:
+        _dispatch_log.add(name)
+
+
+@contextlib.contextmanager
+def capture_dispatches(out: Optional[Set[str]] = None):
+    """Collect ``log_dispatch`` names into ``out`` (a set) for the duration.
+
+    Only traces executed inside the block are observed; jit cache hits
+    re-trace nothing and log nothing — capture around the *first* call of a
+    fresh jit wrapper."""
+    global _dispatch_log
+    out = set() if out is None else out
+    prev = _dispatch_log
+    _dispatch_log = out
+    try:
+        yield out
+    finally:
+        _dispatch_log = prev
 
 
 def on_tpu() -> bool:

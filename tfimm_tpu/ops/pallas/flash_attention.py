@@ -66,6 +66,8 @@ def flash_attention_or_none(q, k, v, bias=None, scale: Optional[float] = None):
         return None
     if not _kernel_fits(n, d, jnp.dtype(q.dtype).itemsize):
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
     from tfimm_tpu.ops.pallas.flash_attention_kernel import flash_attention
 
+    log_dispatch("flash_attention")
     return flash_attention(q, k, v, scale=scale, interpret=interpret)

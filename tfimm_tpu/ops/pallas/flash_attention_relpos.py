@@ -749,11 +749,18 @@ def _relpos_backward_call_paired(qs, k, v, rh2, rw2, out, lse2, do, gw,
     # stack temporaries exceed XLA:TPU's 16 MB scoped-vmem limit (measured
     # round 4: 16.66 MB on hardware via exp_stacked.py, reproduced by the
     # deviceless whole-encoder AOT probe). Halve the backward blocks to
-    # 256: compiles with margin, still satisfies gw | block_k and
-    # n % block_q == 0 for every dispatched shape (the forward keeps its
-    # 512 blocks — it fits).
-    block_q = min(block_q, 256)
-    block_k = min(block_k, 256)
+    # 256: compiles with margin and satisfies gw | block_k and
+    # n % block_q == 0 for every dispatched shape today (gw <= 64). If a
+    # caller ever passes a grid wider than the clamp (gw > 256 is admitted
+    # by image_encoder's 512 % w check), the clamped block_k would break
+    # the bias-tiling invariant (rows_per_block = block_k // gw = 0 and
+    # silently wrong rel-pos gradients) — keep the caller's blocks in that
+    # case (a VMEM compile failure is loud; wrong gradients are not) and
+    # re-assert the invariants against the values actually used.
+    bq, bk = min(block_q, 256), min(block_k, 256)
+    if bk % gw == 0 and n % bq == 0:
+        block_q, block_k = bq, bk
+    assert block_k % gw == 0 and n % block_q == 0 and n % block_k == 0
 
     full = pl.BlockSpec((1, n, d2), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -894,6 +901,9 @@ def flash_attention_relpos(q, k, v, rel_h_term, rel_w_term, *, grid_size,
     passes no-ops against the cached unpaired trace)."""
     b, _, d = q.shape
     paired = _paired_enabled() and b % 2 == 0 and 2 * d == LANES
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch(f"flash_attention_relpos[{'paired' if paired else 'perhead'}]")
     return _flash_attention_relpos_jit(
         q, k, v, rel_h_term, rel_w_term, grid_size=tuple(grid_size),
         scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,

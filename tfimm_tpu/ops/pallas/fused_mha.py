@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tfimm_tpu.ops.pallas.dispatch import softmax_nomax as _softmax_nomax
 from tfimm_tpu.ops.pallas.dispatch import softmax_clamp_grad_mask as _grad_mask
+from tfimm_tpu.ops.pallas.dispatch import log_dispatch as _log_dispatch
 
 __all__ = ["fused_mha", "fused_mha_or_none"]
 
@@ -150,6 +151,7 @@ def fused_mha(qkv, nb_heads: int, scale: float, interpret: bool = False,
         stacked = (_stacked_default()
                    and _fwd_kernel_fits(n, dim, jnp.dtype(qkv.dtype).itemsize,
                                         stacked=True))
+    _log_dispatch(f"fused_mha[{'stacked' if stacked else 'pair'}]")
     pair_fn = _pair_attention_stacked if stacked else _pair_attention
 
     def spec(part):
@@ -359,8 +361,10 @@ def _fused_mha_bwd(nb_heads, scale, interpret, res, g):
         # Long sequences (e.g. patch8 ViT, N=785): keep the fused forward
         # (its smaller footprint fits) and take the gradient through the
         # XLA twin instead of the Pallas backward.
+        _log_dispatch("fused_mha_bwd[xla-twin]")
         _, vjp = jax.vjp(lambda q: _reference_mha(q, nb_heads, scale), qkv)
         return vjp(g)
+    _log_dispatch(f"fused_mha_bwd[{'stacked' if stacked else 'pair'}]")
     return (_fused_mha_bwd_call(qkv, g, nb_heads, scale, interpret=interpret,
                                 stacked=stacked),)
 

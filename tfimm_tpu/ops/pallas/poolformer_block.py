@@ -113,6 +113,9 @@ def poolformer_block_or_none(p, x, *, mlp_ratio: float, eps: float = 1e-5):
     k1 = p["mlp"]["fc1"]["kernel"]
     if k1.shape[:2] != (1, 1):
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch("poolformer_block")
 
     f32 = jnp.float32
     n1 = jnp.stack([p["norm1"]["scale"], p["norm1"]["bias"]]).astype(f32)

@@ -80,6 +80,9 @@ def sra_attention_or_none(x, k, v, wq, bq, wp, bp, *, scale: float):
             n * s * itemsize + 2 * s * c * itemsize)
     if vmem > _VMEM_LIMIT_BYTES:
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch("pvt_sra")
 
     f32 = jnp.float32
     if bq is None:

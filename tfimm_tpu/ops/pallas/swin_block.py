@@ -345,6 +345,9 @@ def swin_block_or_none(p, x_windows, bias, mask, *, nb_heads: int,
     if not fits:
         return None
 
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch(f"swin_block[{'stacked' if stacked is None else 'group'}]")
     params = _prep_params(p, c, x_windows.dtype)
     out = swin_block_diff(x_windows, params, bias, mask, nb_heads, scale,
                           interpret, stacked)
@@ -387,6 +390,10 @@ def swin_block_padded_or_none(p, x_padded, bias, mask, *, nb_heads: int,
         return None
     stacked = _vmem_plan(bw, n, c, hidden, nb_heads, nb_win, mask is not None,
                          x_padded.dtype)[1]
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch(
+        f"swin_block_padded[{'stacked' if stacked is None else 'group'}]")
     if n != n_real:
         bias, mask = _pad_bias_mask(bias, mask, n_real, n, nb_heads)
     params = _prep_params(p, c, x_padded.dtype)

@@ -617,6 +617,9 @@ def window_mha_or_none(q, k, v, bias, mask=None, *, nb_heads: int,
             stacked = False
     if vmem > _VMEM_LIMIT_BYTES:
         return None
+    from tfimm_tpu.ops.pallas.dispatch import log_dispatch
+
+    log_dispatch(f"window_mha[g={g},{'stacked' if stacked is None else 'group'}]")
     out = window_mha_diff(q, k, v, bias, mask, nb_heads, scale, interpret,
                           stacked)
     return out[:, :n0, :] if npad != n0 else out

@@ -27,9 +27,10 @@ Design notes:
 - Kernels smaller than ``min_features`` on either axis are left alone:
   the dynamic-quant overhead only pays for itself on MXU-bound shapes.
 - The converted pytree round-trips through ``save_model``/``load_model``
-  (npz preserves dtypes) and ``tree_cast`` leaves the int8 leaves alone.
-  ``Dense`` reads ``kernel_scale`` in float32 regardless of any later
-  cast, so a ``model.cast(bf16)`` after quantization is harmless.
+  (npz preserves dtypes), and ``tree_cast`` leaves both the int8 leaves
+  AND the float32 ``kernel_scale`` leaves alone (utils/tree.py), so a
+  ``model.cast(bf16)`` after quantization is lossless — the scales never
+  pass through bf16.
 """
 
 from __future__ import annotations
@@ -40,7 +41,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_int8", "int8_dense_matmul", "is_quantized"]
+__all__ = ["quantize_int8", "int8_dense_matmul", "is_quantized",
+           "any_quantized"]
+
+
+def any_quantized(*param_dicts) -> bool:
+    """True when any of the given param sub-dicts carries an int8 kernel.
+
+    Gate helper for the fused Pallas block kernels: they read several
+    sub-dicts' ``kernel`` leaves raw (e.g. the Swin block kernel reads
+    attn.qkv AND attn.proj AND mlp.fc1 AND mlp.fc2), so a dispatch gate
+    must check EVERY dict the kernel reads — checking only one admits a
+    partially-quantized block (possible with a custom ``quantize_int8``
+    ``skip`` list) and raises KeyError at trace time.
+    """
+    return any("kernel_q" in d for d in param_dicts)
 
 # Substrings of parameter-tree keys whose Dense kernels are never
 # quantized. Classifier heads are excluded for accuracy (and are a
@@ -142,6 +157,17 @@ def quantize_int8(params, *, min_features: int = 256,
             # embeds) are read raw by specialised layers.
             if (k.shape[0] != 1 or k.shape[1] != 1
                     or not path or path[-1] not in ("fc1", "fc2")):
+                return False
+            # SEModule names its 1x1 gate convs fc1/fc2 too (ops/se.py:
+            # 26-27). SE is a reduce->expand bottleneck driving a sigmoid
+            # gate — accuracy-sensitive, batch-only row count, no MXU
+            # payback — while a ConvMLP expands then contracts. Require
+            # the MLP orientation so SE gates are never converted, even
+            # when a huge SE bottleneck clears min_features.
+            cin, cout = k.shape[2], k.shape[3]
+            if path[-1] == "fc1" and cout < cin:
+                return False
+            if path[-1] == "fc2" and cin < cout:
                 return False
         elif k.ndim != 2:
             return False

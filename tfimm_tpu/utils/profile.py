@@ -71,11 +71,32 @@ def time_model(
     nb_batches: int = 10,
     dtype=jnp.bfloat16,
     model=None,
-) -> float:
+    training: bool = False,
+    samples: int = 1,
+    return_stats: bool = False,
+):
     """Returns images/sec for inference or backprop at the given batch size.
 
     ``nb_batches`` sets the short leg of the differential timing; the long
     leg is 5x that.
+
+    ``samples`` takes that many independent slope samples of the SAME
+    compiled executable and returns the MEDIAN. A single slope sample is
+    one-sided fragile: any transient stall during the long timing leg (a
+    tunnel hiccup, host jitter) inflates the slope, and the positive-slope
+    retry cannot see it — a ~300 ms stall in a 1.7 s leg reads as an 18%
+    throughput loss (exactly the BENCH_r04 ViT-B spread). The median of >=3
+    samples is robust to a minority of contaminated legs in either
+    direction. ``return_stats=True`` additionally returns a dict with the
+    raw per-sample rates and their relative spread.
+
+    ``training=True`` (backprop only) times the reference's methodology
+    (tfimm/utils/profile.py:97): the forward runs in training mode —
+    drop-path/dropout active, batch norm normalizing by batch statistics —
+    and the running-stat updates are merged into the params each iteration
+    like a real train step. The default (False) keeps BN on running stats,
+    which is how every published CSV row before round 5 was timed; the two
+    modes are published side by side (docs/profiling.md).
     """
     from tfimm_tpu import create_model
 
@@ -84,6 +105,8 @@ def time_model(
     x = _input_for(model, batch_size, dtype)
 
     if target == "inference":
+        if training:
+            raise ValueError("training=True only applies to target='backprop'")
 
         @jax.jit
         def run(params, x, n):
@@ -94,6 +117,38 @@ def time_model(
             return jax.lax.fori_loop(0, n, body, x).mean()
 
         run_n = lambda n: run(params, x, n)  # noqa: E731
+
+    elif target == "backprop" and training:
+        from tfimm_tpu.parallel.step import merge_state_updates
+
+        tx = optax.sgd(0.01)
+        opt_state = tx.init(params)
+        base_rng = jax.random.PRNGKey(0)
+
+        def loss_fn(p, x, rng):
+            out, updates = model.apply(p, x, training=True, rng=rng,
+                                       mutable=True)
+            out = out[0] if isinstance(out, tuple) else out
+            return out.astype(jnp.float32).mean(), updates
+
+        @jax.jit
+        def run(params, opt_state, x, n):
+            def body(i, carry):
+                p, s = carry
+                rng = jax.random.fold_in(base_rng, i)
+                (_, state_updates), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, x, rng)
+                updates, s = tx.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                # BN running-stat merge: part of the real per-step work in
+                # training mode, and it makes the fetched result depend on
+                # the batch-stat computation (no DCE).
+                return merge_state_updates(p, state_updates), s
+            p, s = jax.lax.fori_loop(0, n, body, (params, opt_state))
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree.leaves(p))
+
+        run_n = lambda n: run(params, opt_state, x, n)  # noqa: E731
 
     elif target == "backprop":
         tx = optax.sgd(0.01)
@@ -126,8 +181,19 @@ def time_model(
     else:
         raise ValueError(f"Unknown target: {target}")
 
-    secs = _slope_time(run_n, nb_batches, 5 * nb_batches)
-    return batch_size / secs
+    rates = []
+    for _ in range(max(1, samples)):
+        secs = _slope_time(run_n, nb_batches, 5 * nb_batches)
+        rates.append(batch_size / secs)
+    median = float(np.median(rates))
+    if return_stats:
+        stats = {
+            "samples": [round(r, 2) for r in rates],
+            "spread_rel": round((max(rates) - min(rates)) / median, 4)
+            if len(rates) > 1 else 0.0,
+        }
+        return median, stats
+    return median
 
 
 def find_max_batch_size(

@@ -51,14 +51,27 @@ def map_leaves_with_path(fn: Callable[[str, Any], Any], tree: Any) -> Any:
 
 
 def tree_cast(tree: Any, dtype) -> Any:
-    """Cast floating-point leaves to ``dtype``; leave integer leaves alone."""
+    """Cast floating-point leaves to ``dtype``; leave integer leaves alone.
+
+    Quantization scale leaves (``kernel_scale``, tfimm_tpu/quant.py) also
+    stay float32: the int8 matmul reads them in float32 at every use, so
+    casting them to bf16 would permanently destroy scale precision while
+    saving nothing — ``model.cast(bf16)`` after ``quantize_int8`` must be
+    lossless.
+    """
 
     def cast(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
-    return jax.tree.map(cast, tree)
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (v if k == "kernel_scale" else walk(v))
+                    for k, v in node.items()}
+        return jax.tree.map(cast, node)
+
+    return walk(tree)
 
 
 def count_params(tree: Any) -> int:
