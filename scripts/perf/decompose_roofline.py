@@ -433,6 +433,101 @@ def decompose_cait_bwd():
     return emit_markdown("cait_s24_224 backprop", B, img_s, 3 * 2 * 9.6175e9)
 
 
+def decompose_swin_bwd():
+    """Per-block fwd+bwd table for the Swin-T backprop row (bs64 bf16, the
+    zoo's backprop batch). Same pinned-cotangent harness as vit_bwd.
+
+    Granularity note: gradient workloads run the per-block UNFUSED
+    composition regardless of dispatch mode (the window-resident stage and
+    the fused block both AD-swap to it — swin.py _window_resident_diff /
+    swin_block_diff), with the window_mha kernel inside (it has a real
+    Pallas backward and serves training). So the block IS the op row; a
+    block is timed under a training Context to force exactly that path.
+    FLOPs credit: 3x forward for the block's matmuls (qkv/proj/fc1/fc2),
+    3.5x for the windowed attention (score recompute + 5 matmuls)."""
+    from tfimm_tpu.architectures.swin import PatchMerging, SwinTransformerBlock
+    from tfimm_tpu.core import Context
+    from tfimm_tpu.models.registry import model_config
+
+    rng = np.random.default_rng(0)
+    B = 64
+    cfg = model_config("swin_tiny_patch4_window7_224")
+
+    def mk(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, size=shape), jnp.bfloat16)
+
+    def bf16(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+
+    # Stem: 4x4/4 patchify conv (3->96) as its matmul (dW only — the image
+    # is a leaf input) + the embed LN is folded into the first LN rows.
+    xp = mk(B * 56 * 56, 4 * 4 * 3)
+    wp = mk(4 * 4 * 3, 96)
+    s = timeit_fb(lambda w: jnp.dot(xp, w), (wp,), mk(B * 56 * 56, 96))
+    row("patch embed f+b (dW only)", 1, s, 2 * 2 * B * 3136 * 48 * 96)
+
+    stages = [  # (grid, C, heads, nb_blocks)
+        (56, 96, 3, 2), (28, 192, 6, 2), (14, 384, 12, 6), (7, 768, 24, 2)]
+    for grid, c, heads, nb in stages:
+        t_img = grid * grid
+        for shift, count in [(0, (nb + 1) // 2),
+                             (cfg.window_size // 2, nb // 2)]:
+            if count == 0:
+                continue
+            blk = SwinTransformerBlock(cfg, (grid, grid), c, heads,
+                                       drop_path_rate=0.0, shift_size=shift)
+            p = bf16(blk.init(jax.random.PRNGKey(c + shift)))
+            x = mk(B, t_img, c)
+
+            def fn(p, a, _blk=blk):
+                with Context(training=True):
+                    return _blk(p, a)
+
+            s = timeit_fb(fn, (x, p), mk(B, t_img, c))
+            ws = blk.window_size
+            mm_flops = 2 * B * t_img * c * c * 12      # qkv+proj+mlp fwd
+            at_flops = 4 * B * t_img * (ws * ws) * c   # scores + PV fwd
+            label = f"block C={c} {'shifted' if shift else 'unshifted'} f+b"
+            row(label, count, s, 3 * mm_flops + 3.5 * at_flops,
+                f"grid {grid}x{grid}, win {ws}")
+
+        if grid > 7:  # downsample after stages 1-3
+            ds = PatchMerging(cfg, (grid, grid), c)
+            pd = bf16(ds.init(jax.random.PRNGKey(2 * c)))
+            xd = mk(B, t_img, c)
+
+            def dfn(p, a, _ds=ds):
+                with Context(training=True):
+                    return _ds(p, a)
+
+            s = timeit_fb(dfn, (xd, pd), mk(B, t_img // 4, 2 * c))
+            row(f"downsample {grid}->{grid//2} f+b", 1, s,
+                3 * 2 * B * (t_img // 4) * (4 * c) * (2 * c))
+
+    # Final LN + head fc(1000) on pooled features.
+    from tfimm_tpu.ops.norm import LayerNorm
+
+    ln = LayerNorm(768, eps=1e-5)
+    p_ln = ln.init(jax.random.PRNGKey(9))
+    xf = mk(B, 49, 768)
+    s = timeit_fb(lambda p, a: ln(p, a), (xf, p_ln), mk(B, 49, 768))
+    row("final LayerNorm(768) f+b", 1, s, 0, "HBM-bound")
+    wh = mk(768, 1000)
+    xh = mk(B, 768)
+    s = timeit_fb(lambda w_, a: jnp.dot(a, w_), (xh, wh), mk(B, 1000))
+    row("head fc(1000) f+b", 1, s, 3 * 2 * B * 768 * 1000)
+
+    from tfimm_tpu.utils.profile import time_model
+
+    img_s = time_model("swin_tiny_patch4_window7_224", target="backprop",
+                       batch_size=B, nb_batches=5, samples=3)
+    # flops.csv MACs for swin_tiny (4.712 G); x2 FLOPs, x3 backprop.
+    return emit_markdown("swin_tiny_patch4_window7_224 backprop", B, img_s,
+                         3 * 2 * 4.712e9)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("vit", "both"):
@@ -450,6 +545,9 @@ def main():
     if which == "cait_bwd":
         print("== CaiT-S24 backprop bs64 bf16 ==")
         decompose_cait_bwd()
+    if which == "swin_bwd":
+        print("== Swin-T backprop bs64 bf16 ==")
+        decompose_swin_bwd()
 
 
 if __name__ == "__main__":

@@ -38,13 +38,47 @@ MODELS = [
 ]
 
 
-def logit_drift(model, params_q, batch=8):
-    """Max |int8 - bf16| logit diff relative to the bf16 logit spread."""
+_LAYER_SCALE_KEYS = ("gamma", "gamma_1", "gamma_2",
+                     "layer_scale_1", "layer_scale_2")
+
+
+def _unsuppress_layer_scale(tree):
+    """Return a copy with layer-scale leaves set to 1.0 (both trees get it).
+
+    Random-init layer-scale gammas are 1e-5/1e-6, which multiplies every
+    block's contribution — and therefore the quantization error — by ~0:
+    ConvNeXt/CaiT drift measured exactly 0.0000 with init gammas. Setting
+    gammas to 1.0 makes the drift an UPPER bound (trained gammas sit at
+    ~1e-2..1e-1); the caveat is documented in docs/quantization.md."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        return {k: (jnp.ones_like(v) if k in _LAYER_SCALE_KEYS
+                    and not isinstance(v, dict) else walk(v))
+                for k, v in d.items()}
+
+    return walk(tree)
+
+
+def feature_drift(model, params_q, batch=8):
+    """Max |int8 - bf16| FEATURE diff relative to the bf16 feature spread.
+
+    Measured at forward_features, not the logits: randomly-initialized
+    models have zero-init classifier heads (timm convention), so logits
+    are identically zero and logit drift degenerates to 0/eps. The head
+    is excluded from quantization (DEFAULT_SKIP) and is identical float
+    in both trees, so the feature drift IS the full quantization error.
+    Layer-scale gammas are set to 1.0 in BOTH trees (see
+    _unsuppress_layer_scale) or they'd multiply the error by init 1e-6."""
     x = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, size=(batch,) + model.cfg.input_size + (3,)), jnp.bfloat16)
-    ref = np.asarray(model.apply(model.params, x, training=False),
-                     np.float32)
-    out = np.asarray(model.apply(params_q, x, training=False), np.float32)
+    p_ref = _unsuppress_layer_scale(model.params)
+    p_q = _unsuppress_layer_scale(params_q)
+    ref = np.asarray(model.apply(p_ref, x, training=False,
+                                 features_only=True), np.float32)
+    out = np.asarray(model.apply(p_q, x, training=False,
+                                 features_only=True), np.float32)
     return float(np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6))
 
 
@@ -68,13 +102,13 @@ def main():
             continue
         model = create_model(name, dtype=jnp.bfloat16)
         bf16 = time_model(name, target="inference", batch_size=bs,
-                          nb_batches=5, model=model)
+                          nb_batches=5, model=model, samples=3)
         params_q = quantize_int8(model.params)
         assert is_quantized(params_q), name
-        drift = logit_drift(model, params_q)
+        drift = feature_drift(model, params_q)
         model.params = params_q
         i8 = time_model(name, target="inference", batch_size=bs,
-                        nb_batches=5, model=model)
+                        nb_batches=5, model=model, samples=3)
         row = [name, bs, round(bf16, 1), round(i8, 1),
                round(i8 / bf16, 3), round(drift, 4)]
         with open(OUT, "a", newline="") as f:
@@ -82,7 +116,7 @@ def main():
             if write_header:
                 w.writerow(["model", "batch_size", "bf16_img_per_sec",
                             "int8_img_per_sec", "speedup",
-                            "max_logit_drift_rel"])
+                            "max_feature_drift_rel"])
                 write_header = False
             w.writerow(row)
         print(row, flush=True)

@@ -83,7 +83,7 @@ def main():
             if write_header:
                 w.writerow(["model", "batch_size", "bf16_img_per_sec",
                             "int8_img_per_sec", "speedup",
-                            "max_logit_drift_rel"])
+                            "max_feature_drift_rel"])
                 write_header = False
             w.writerow([row_name, 1, round(bf16, 2), round(i8, 2),
                         round(i8 / bf16, 3), round(drift, 4)])

@@ -73,6 +73,33 @@ def test_time_model_inference_and_backprop():
     assert rate > 0
 
 
+def test_time_model_median_samples_and_stats():
+    rate, stats = time_model("vit_test_model", "inference", batch_size=2,
+                             nb_batches=2, dtype=jnp.float32, samples=3,
+                             return_stats=True)
+    assert rate > 0
+    assert len(stats["samples"]) == 3
+    assert stats["spread_rel"] >= 0
+    # median of the raw samples
+    import numpy as np
+
+    assert abs(rate - float(np.median(stats["samples"]))) / rate < 0.01
+
+
+def test_time_model_training_mode():
+    """training=True: dropout/drop-path live, BN batch stats with
+    running-stat merges (the reference's backprop methodology,
+    tfimm/utils/profile.py:97). Use a BN model so the merge path runs."""
+    rate = time_model("resnet_test_model", "backprop", batch_size=2,
+                      nb_batches=2, dtype=jnp.float32, training=True)
+    assert rate > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="training"):
+        time_model("vit_test_model", "inference", batch_size=2,
+                   nb_batches=2, training=True)
+
+
 def test_collect_tfrecord_files(tmp_path):
     from tfimm_tpu.train.utils import collect_tfrecord_files
 
