@@ -174,19 +174,20 @@ def main():
         result["vit_base_backprop_vs_v100_fp32"] = round(rate / 92.36, 2)
         result["vit_base_backprop_roofline_fraction"] = round(
             rate * 3 * VIT_B16_FLOPS / V5E_BF16_PEAK, 3)
-        # Decomposition-backed (results/README.md vit_bwd table) with the
-        # round-4 measured floor: the kernel's fwd+bwd (0.689 ms/layer)
-        # already BEATS XLA's matmuls-only fwd+bwd floor (0.719,
-        # results/attn_floor.csv), so attention contributes no recoverable
-        # gap; the 0.73 ceiling = the measured step minus its standalone
-        # LayerNorm HBM passes (1.98 ms of the 49.6 ms step), the only
-        # remaining sub-peak rows.
-        result["vit_base_backprop_practical_ceiling_fraction"] = 0.73
+        # Decomposition-backed (results/README.md vit_bwd table), both
+        # named levers now MEASURED EXHAUSTED: (round 4) the attention
+        # kernel's fwd+bwd (0.689 ms/layer) already beats XLA's
+        # matmuls-only floor (0.719, results/attn_floor.csv); (round 5)
+        # the standalone-LN rows are an isolation artifact — fusing LN
+        # into its downstream Dense (full Pallas fwd+bwd,
+        # ops/pallas/ln_dense.py) LOSES 0.71-0.73x f+b because XLA's
+        # in-graph LN->Dense composition already runs at 85% of peak
+        # (results/ln_dense.csv). The measured step is at its ceiling.
+        result["vit_base_backprop_practical_ceiling_fraction"] = 0.70
         result["vit_base_backprop_practical_ceiling_def"] = (
-            "measured step minus its standalone-LN HBM passes with the "
-            "attention kernel at its measured fwd+bwd floor "
-            "(0.689 ms/layer, already below XLA's 0.719 matmuls-only "
-            "floor — results/attn_floor.csv)")
+            "measured-exhausted: attention kernel below XLA's matmuls-only "
+            "fwd+bwd floor (attn_floor.csv) and LN-into-Dense fusion "
+            "measured negative (ln_dense.csv) — no named lever remains")
     except Exception:
         pass
     # Train-mode backprop (round 5): the reference times training=True

@@ -17,12 +17,10 @@ Usage (TPU): python scripts/perf/exp_ln_dense.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
