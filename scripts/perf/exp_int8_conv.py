@@ -22,15 +22,19 @@ scales are NOT sound for convs (a 3x3 window spans pixels with different
 scales; rescaling cannot be factored out of the sum).
 """
 
+import csv
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, ROOT)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+OUT = os.path.join(ROOT, "results", "int8_conv.csv")
 
 
 def timeit(fn, args, n1=10, n2=60):
@@ -93,6 +97,7 @@ def main():
         (56, 64, 64, 3), (28, 128, 128, 3), (14, 256, 256, 3),
         (7, 512, 512, 3), (56, 256, 64, 1), (14, 1024, 256, 1),
     ]
+    rows = []
     for hw, cin, cout, k in shapes:
         x = jnp.asarray(rng.uniform(-1, 1, size=(B, hw, hw, cin)),
                         jnp.bfloat16)
@@ -118,9 +123,21 @@ def main():
                   f"i8dyn {s_dyn*1e3:6.3f} ({s_bf/s_dyn:4.2f}x) | "
                   f"i8static {s_st*1e3:6.3f} ({s_bf/s_st:4.2f}x)",
                   flush=True)
+            rows.append([f"{k}x{k}", hw, cin, cout,
+                         round(s_bf * 1e3, 3), round(flops / s_bf / 1e12, 1),
+                         round(s_dyn * 1e3, 3), round(s_bf / s_dyn, 2),
+                         round(s_st * 1e3, 3), round(s_bf / s_st, 2)])
         except Exception as e:
             print(f"{k}x{k} {hw}x{hw} {cin}->{cout}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            rows.append([f"{k}x{k}", hw, cin, cout,
+                         "", "", "", "", "", f"FAILED {type(e).__name__}"])
+    with open(OUT, "w", newline="") as f:
+        w_ = csv.writer(f)
+        w_.writerow(["kernel", "hw", "cin", "cout", "bf16_ms", "bf16_tf_s",
+                     "i8dyn_ms", "i8dyn_speedup", "i8static_ms",
+                     "i8static_speedup"])
+        w_.writerows(rows)
 
 
 if __name__ == "__main__":

@@ -82,12 +82,41 @@ def feature_drift(model, params_q, batch=8):
     return float(np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6))
 
 
+def remeasure_drift(names):
+    """Recompute ONLY the drift column for existing CSV rows (in place).
+
+    Exists because the first chip pass measured ConvNeXt/CaiT drift with
+    init layer-scale gammas (1e-6) still in effect — exactly the
+    suppression _unsuppress_layer_scale was later added to remove — so
+    those committed rows read 0.0. Throughput columns are untouched."""
+    from tfimm_tpu import create_model, quantize_int8
+
+    with open(OUT) as f:
+        reader = csv.DictReader(f)
+        fields = reader.fieldnames
+        rows = list(reader)
+    for r in rows:
+        if names and r["model"] not in names:
+            continue
+        model = create_model(r["model"], dtype=jnp.bfloat16)
+        drift = feature_drift(model, quantize_int8(model.params))
+        r["max_feature_drift_rel"] = round(drift, 4)
+        print("drift", r["model"], r["max_feature_drift_rel"], flush=True)
+    with open(OUT, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+
+
 def main():
     from tfimm_tpu import create_model, quantize_int8
     from tfimm_tpu.quant import is_quantized
     from tfimm_tpu.utils.profile import time_model
 
     names = sys.argv[1:]
+    if names and names[0] == "--drift-only":
+        remeasure_drift(names[1:])
+        return
     rows = [(m, b) for (m, b) in MODELS if not names or m in names]
 
     done = set()
