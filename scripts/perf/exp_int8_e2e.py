@@ -26,15 +26,20 @@ import numpy as np
 
 OUT = os.path.join(ROOT, "results", "int8_e2e.csv")
 
-# (model, inference_bs) — headline shapes from resweep.py.
+# (model, inference_bs, quantize_int8 kwargs) — headline shapes from
+# resweep.py. resnet50 is the convs=True probe: its hot kernels are wide
+# 3x3s, exactly the measured win region of the int8 conv path
+# (results/int8_conv.csv); default (Dense-only) quantization converts
+# nothing in a classic ResNet.
 MODELS = [
-    ("vit_base_patch16_224", 128),
-    ("vit_large_patch16_224", 64),
-    ("deit_base_patch16_224", 128),
-    ("mixer_b16_224", 128),
-    ("convnext_base", 128),
-    ("cait_s24_224", 128),
-    ("swin_base_patch4_window7_224", 64),
+    ("vit_base_patch16_224", 128, {}),
+    ("vit_large_patch16_224", 64, {}),
+    ("deit_base_patch16_224", 128, {}),
+    ("mixer_b16_224", 128, {}),
+    ("convnext_base", 128, {}),
+    ("cait_s24_224", 128, {}),
+    ("swin_base_patch4_window7_224", 64, {}),
+    ("resnet50", 256, {"convs": True}),
 ]
 
 
@@ -43,19 +48,31 @@ _LAYER_SCALE_KEYS = ("gamma", "gamma_1", "gamma_2",
 
 
 def _unsuppress_layer_scale(tree):
-    """Return a copy with layer-scale leaves set to 1.0 (both trees get it).
+    """Return a copy with error-suppressing scale leaves set to 1.0
+    (both trees get the same treatment).
 
     Random-init layer-scale gammas are 1e-5/1e-6, which multiplies every
     block's contribution — and therefore the quantization error — by ~0:
-    ConvNeXt/CaiT drift measured exactly 0.0000 with init gammas. Setting
-    gammas to 1.0 makes the drift an UPPER bound (trained gammas sit at
-    ~1e-2..1e-1); the caveat is documented in docs/quantization.md."""
+    ConvNeXt/CaiT drift measured exactly 0.0000 with init gammas. The
+    ResNet analog is zero-init of each block's LAST BN scale (the timm
+    residual-stability convention): at random init every residual branch
+    is multiplied by exactly 0, so a quantized bottleneck 3x3 leaves no
+    trace at the features — resnet50's first drift pass also read 0.0.
+    Setting those scales to 1.0 makes the drift an UPPER bound (trained
+    gammas sit at ~1e-2..1e-1, trained BN scales at O(1)); the caveat is
+    documented in docs/quantization.md."""
+
+    def fix(k, v):
+        if k in _LAYER_SCALE_KEYS:
+            return jnp.ones_like(v)
+        if k == "scale" and v.ndim == 1 and not bool(jnp.any(v)):
+            return jnp.ones_like(v)  # zero-init last-BN scale
+        return v
 
     def walk(d):
         if not isinstance(d, dict):
             return d
-        return {k: (jnp.ones_like(v) if k in _LAYER_SCALE_KEYS
-                    and not isinstance(v, dict) else walk(v))
+        return {k: (walk(v) if isinstance(v, dict) else fix(k, v))
                 for k, v in d.items()}
 
     return walk(tree)
@@ -95,11 +112,13 @@ def remeasure_drift(names):
         reader = csv.DictReader(f)
         fields = reader.fieldnames
         rows = list(reader)
+    qkwargs = {m: q for (m, _, q) in MODELS}
     for r in rows:
         if names and r["model"] not in names:
             continue
         model = create_model(r["model"], dtype=jnp.bfloat16)
-        drift = feature_drift(model, quantize_int8(model.params))
+        drift = feature_drift(
+            model, quantize_int8(model.params, **qkwargs.get(r["model"], {})))
         r["max_feature_drift_rel"] = round(drift, 4)
         print("drift", r["model"], r["max_feature_drift_rel"], flush=True)
     with open(OUT, "w", newline="") as f:
@@ -117,7 +136,7 @@ def main():
     if names and names[0] == "--drift-only":
         remeasure_drift(names[1:])
         return
-    rows = [(m, b) for (m, b) in MODELS if not names or m in names]
+    rows = [(m, b, q) for (m, b, q) in MODELS if not names or m in names]
 
     done = set()
     if os.path.exists(OUT):
@@ -125,14 +144,14 @@ def main():
             done = {r["model"] for r in csv.DictReader(f)}
     write_header = not os.path.exists(OUT)
 
-    for name, bs in rows:
+    for name, bs, qkw in rows:
         if name in done:
             print(f"skip {name} (done)", flush=True)
             continue
         model = create_model(name, dtype=jnp.bfloat16)
         bf16 = time_model(name, target="inference", batch_size=bs,
                           nb_batches=5, model=model, samples=3)
-        params_q = quantize_int8(model.params)
+        params_q = quantize_int8(model.params, **qkw)
         assert is_quantized(params_q), name
         drift = feature_drift(model, params_q)
         model.params = params_q

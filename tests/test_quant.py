@@ -357,3 +357,89 @@ def test_partial_quantization_declines_fused_poolformer(monkeypatch):
     out = np.asarray(model(x, params=qp))
     assert np.all(np.isfinite(out))
     assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# KxK conv quantization (round 5, quantize_int8(convs=True))
+# ---------------------------------------------------------------------------
+
+
+def test_conv_kxk_is_opt_in_and_win_region_gated():
+    """K>1 conv kernels convert only with convs=True, only when BOTH
+    channel dims clear min_conv_features (the measured v5e win region,
+    results/int8_conv.csv); depthwise kernels never qualify."""
+    rng = jax.random.PRNGKey(0)
+    tree = {
+        "big": {"kernel": jax.random.normal(rng, (3, 3, 128, 128))},
+        "small": {"kernel": jax.random.normal(rng, (3, 3, 64, 64))},
+        "dw": {"kernel": jax.random.normal(rng, (7, 7, 1, 256))},
+        "stem": {"kernel": jax.random.normal(rng, (7, 7, 3, 128))},
+    }
+    assert not is_quantized(quantize_int8(tree))  # default: convs off
+    qp = quantize_int8(tree, convs=True)
+    assert qp["big"]["kernel_q"].shape == (3, 3, 128, 128)
+    assert qp["big"]["kernel_q"].dtype == jnp.int8
+    assert qp["big"]["kernel_scale"].shape == (128,)
+    assert "kernel" not in qp["big"]
+    for name in ("small", "dw", "stem"):
+        assert "kernel" in qp[name] and "kernel_q" not in qp[name], name
+
+
+def test_int8_conv_accuracy_and_dispatch():
+    """A quantized KxK Conv2d stays within ~2% relative error of its float
+    forward (per-tensor dynamic activation scale), including stride and
+    symmetric padding, and the STE gradient flows to the input."""
+    from tfimm_tpu.ops.conv import Conv2d
+
+    conv = Conv2d(128, 128, 3, stride=2, padding=1, use_bias=True)
+    p = conv.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 8, 128)),
+                    jnp.float32)
+    ref = np.asarray(conv(p, x))
+    pq = quantize_int8({"c": p}, convs=True)["c"]
+    assert pq["kernel_q"].ndim == 4
+    out = np.asarray(conv(pq, x))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.02
+
+    g = jax.grad(lambda x_: conv(pq, x_).sum())(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_stdconv_quantized_falls_back_to_standardized_float():
+    """StdConv2d (ResNetV2/BiT) must keep weight standardization under
+    quantized params: the int8 fast path is declined and the dequantized
+    kernel is standardized — output matches the float layer closely."""
+    from tfimm_tpu.ops.conv import StdConv2d
+
+    conv = StdConv2d(128, 128, 3, padding=1, use_bias=False)
+    p = conv.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 6, 6, 128)),
+                    jnp.float32)
+    ref = np.asarray(conv(p, x))
+    pq = quantize_int8({"c": p}, convs=True)["c"]
+    assert "kernel_q" in pq  # conversion itself is allowed...
+    out = np.asarray(conv(pq, x))
+    # ...but the output is the standardized-float conv, not an int8 conv:
+    # standardization divides by the kernel std, so a skipped
+    # standardization would be off by orders of magnitude, not percent.
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.02
+
+
+def test_resnet_conv_quant_forward_close():
+    """End-to-end: a ResNet test model quantized with convs=True stays
+    close to its float forward and actually converts its wide 3x3s."""
+    model = create_model("resnet_test_model")
+    x = jnp.asarray(
+        np.random.default_rng(6).uniform(size=model.dummy_inputs.shape),
+        jnp.float32)
+    ref = np.asarray(model.forward_features(model.params, x))
+    qp = quantize_int8(model.params, convs=True, min_conv_features=4,
+                       min_features=4)
+    converted = [pth for pth, leaf in _flat_paths(qp).items()
+                 if pth[-1] == "kernel_q" and leaf.ndim == 4]
+    assert converted, "no conv kernels converted"
+    out = np.asarray(model.forward_features(qp, x))
+    drift = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert drift < 0.1, drift

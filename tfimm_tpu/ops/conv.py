@@ -99,10 +99,16 @@ class Conv2d:
                 )
         return p
 
+    # Weight-standardized subclasses must see float weights at call time;
+    # they clear this so a quantized kernel dequantizes via _kernel
+    # instead of taking an int8 fast path (which would skip the
+    # standardization).
+    _INT8_CONV = True
+
     def _kernel(self, p, dtype):
         if "kernel_q" in p:
-            # int8-quantized 1x1 kernel (tfimm_tpu.quant) on a geometry the
-            # fast path below declined: dequantize and convolve normally.
+            # int8-quantized kernel (tfimm_tpu.quant) on a geometry the
+            # fast paths below declined: dequantize and convolve normally.
             k = (p["kernel_q"].astype(jnp.float32)
                  * p["kernel_scale"].astype(jnp.float32))
             return k.reshape(self.kernel_shape).astype(dtype)
@@ -117,12 +123,24 @@ class Conv2d:
                      or all(tuple(pad) == (0, 0) for pad in self.padding)))
 
     def __call__(self, p, x):
-        if "kernel_q" in p and self._int8_matmul_ok():
+        if "kernel_q" in p and self._INT8_CONV and self._int8_matmul_ok():
             # int8 MXU path (tfimm_tpu.quant.quantize_int8): dynamic
             # per-position activation quant + int8 matmul over channels.
             from tfimm_tpu.quant import int8_dense_matmul
 
             y = int8_dense_matmul(p, x)
+            if self.use_bias:
+                y = y + p["bias"].astype(y.dtype)
+            return y
+        if ("kernel_q" in p and p["kernel_q"].ndim == 4
+                and self.groups == 1 and self._INT8_CONV):
+            # int8 KxK conv (quantize_int8(convs=True)): per-tensor dynamic
+            # activation quant + int8 conv with int32 MXU accumulation.
+            from tfimm_tpu.quant import int8_conv
+
+            pad = (self.padding if isinstance(self.padding, str)
+                   else tuple(tuple(q) for q in self.padding))
+            y = int8_conv(p, x, self.stride, pad, self.dilation)
             if self.use_bias:
                 y = y + p["bias"].astype(y.dtype)
             return y
@@ -165,12 +183,20 @@ class StdConv2d(Conv2d):
     """Weight-standardized conv (BiT / ResNetV2; reference:
     tfimm/layers/conv.py:151-222). Kernel standardized over (H, W, I)."""
 
+    # Standardization must see float weights — a quantized kernel
+    # dequantizes (super()._kernel) before standardizing, and the int8
+    # fast path is declined (no payback: the conv still runs float).
+    _INT8_CONV = False
+
     def __init__(self, *args, eps: float = 1e-8, **kwargs):
         super().__init__(*args, **kwargs)
         self.eps = eps
 
     def _kernel(self, p, dtype):
-        k = p["kernel"].astype(jnp.float32)
+        if "kernel_q" in p:
+            k = super()._kernel(p, jnp.float32)
+        else:
+            k = p["kernel"].astype(jnp.float32)
         mean = k.mean(axis=(0, 1, 2), keepdims=True)
         var = k.var(axis=(0, 1, 2), keepdims=True)
         k = (k - mean) * jax.lax.rsqrt(var + self.eps)

@@ -35,14 +35,15 @@ Design notes:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_int8", "int8_dense_matmul", "is_quantized",
-           "any_quantized"]
+__all__ = ["quantize_int8", "int8_dense_matmul", "int8_conv",
+           "is_quantized", "any_quantized"]
 
 
 def any_quantized(*param_dicts) -> bool:
@@ -114,6 +115,69 @@ def _int8_bwd(res, g):
 int8_dense_matmul.defvjp(_int8_fwd, _int8_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def int8_conv(p, x, strides, padding, dilation):
+    """Dynamic-activation int8 KxK convolution for a quantized conv dict.
+
+    ``x``: (B, H, W, Cin) float NHWC. ``p["kernel_q"]``: (kh, kw, Cin, Cout)
+    int8 HWIO. ``p["kernel_scale"]``: (Cout,) per-output-channel weight
+    scale. ``strides``/``padding``/``dilation`` are the layer's static conv
+    spec (``padding`` as lax accepts it: "SAME"/"VALID" or a pad tuple-of-
+    tuples). Returns (B, H', W', Cout) in ``x.dtype`` (no bias).
+
+    The activation scale is a single per-tensor absmax: per-position scales
+    are NOT sound for K>1 convs — one KxK window spans positions with
+    different scales, so the rescale could not be factored out of the sum.
+    (Zero padding is exact under the symmetric scheme: zero-point is 0.)
+    Measured on v5e at ResNet-50 bottleneck shapes (results/int8_conv.csv):
+    the dynamic pipeline wins 1.38-1.59x at 3x3/C>=128 and loses at C=64
+    and at 1x1 reduce/expand positions — which is exactly the eligibility
+    region ``quantize_int8(convs=True)`` converts.
+
+    Differentiable via the same straight-through estimator as
+    ``int8_dense_matmul``: the backward runs XLA's conv VJP against the
+    dequantized weights; the int8 weights themselves are frozen.
+    """
+    wq = p["kernel_q"]
+    ws = p["kernel_scale"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        q, wq, window_strides=strides, padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (s * ws)).astype(x.dtype)
+
+
+def _int8_conv_fwd(p, x, strides, padding, dilation):
+    return int8_conv(p, x, strides, padding, dilation), (p, x)
+
+
+def _int8_conv_bwd(strides, padding, dilation, res, g):
+    p, x = res
+    w = (p["kernel_q"].astype(jnp.float32)
+         * p["kernel_scale"].astype(jnp.float32)).astype(g.dtype)
+
+    def f(x_):
+        return jax.lax.conv_general_dilated(
+            x_, w, window_strides=strides, padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    gx = jax.vjp(f, x.astype(g.dtype))[1](g)[0].astype(x.dtype)
+    gp = {k: (np.zeros(v.shape, jax.dtypes.float0)
+              if not jnp.issubdtype(v.dtype, jnp.inexact)
+              else jnp.zeros_like(v))
+          for k, v in p.items()}
+    return gp, gx
+
+
+int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
 def is_quantized(params) -> bool:
     """True if any Dense kernel in the pytree has been int8-quantized."""
     found = [False]
@@ -130,7 +194,8 @@ def is_quantized(params) -> bool:
 
 
 def quantize_int8(params, *, min_features: int = 256,
-                  skip: Tuple[str, ...] = DEFAULT_SKIP):
+                  skip: Tuple[str, ...] = DEFAULT_SKIP,
+                  convs: bool = False, min_conv_features: int = 128):
     """Return a copy of ``params`` with eligible Dense kernels in int8.
 
     A param dict is eligible when it holds a 2-D ``kernel`` (Dense) — or a
@@ -141,6 +206,19 @@ def quantize_int8(params, *, min_features: int = 256,
     always stored (in, out)) + ``kernel_scale`` (float32, per output
     channel); biases and all other leaves are untouched. ``Dense.__call__``
     and ``Conv2d.__call__`` dispatch on ``kernel_q``.
+
+    ``convs=True`` additionally converts KxK (K>1) ungrouped conv kernels
+    whose channel dims are BOTH >= ``min_conv_features`` — the region where
+    the dynamic-quant conv pipeline measures a win on the v5e MXU
+    (1.38-1.59x at 3x3/C>=128; flat at C=64; results/int8_conv.csv — the
+    per-tensor activation scale a K>1 conv requires amortizes worse than
+    the Dense path's per-token scale, hence the separate opt-in and
+    threshold). KxK kernels are stored as 4-D int8 HWIO ``kernel_q``;
+    depthwise/grouped kernels (shape[2] == cin/groups < threshold) and
+    small-C stems never qualify. Opt-in because it only pays for families
+    whose hot convs are wide KxK (classic ResNet); weight-standardized
+    convs (ResNetV2/BiT) accept the conversion but dequantize at call time
+    (standardization must see float weights), so they gain nothing.
     """
 
     def eligible(d, path) -> bool:
@@ -151,6 +229,11 @@ def quantize_int8(params, *, min_features: int = 256,
             # LoRA layers read p["kernel"] directly (the low-rank update
             # adds onto it); quantize after merge_lora_weights instead.
             return False
+        if k.ndim == 4 and (k.shape[0] != 1 or k.shape[1] != 1):
+            # KxK conv: opt-in, win-region thresholds (see docstring).
+            return (convs
+                    and min(k.shape[2], k.shape[3]) >= min_conv_features
+                    and not any(s in comp for comp in path for s in skip))
         if k.ndim == 4:
             # 1x1 convs are matmuls; convert only ConvMLP positions (fc1/
             # fc2) — other 1x1s (SE gates, StdConv downsamples, patch
@@ -177,9 +260,14 @@ def quantize_int8(params, *, min_features: int = 256,
 
     def convert_kernel(k):
         w = jnp.asarray(k, jnp.float32)
-        if w.ndim == 4:  # (1, 1, in, out) -> (in, out)
+        if w.ndim == 4 and w.shape[0] == w.shape[1] == 1:
+            # (1, 1, in, out) -> (in, out): dispatched as a matmul.
             w = w.reshape(w.shape[2], w.shape[3])
-        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        if w.ndim == 4:  # KxK HWIO: per-output-channel over (H, W, I).
+            scale = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+        else:
+            scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
         wq = jnp.clip(jnp.round(w / scale), -127.0, 127.0).astype(jnp.int8)
         return wq, scale
 
