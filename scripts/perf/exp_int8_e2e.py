@@ -40,6 +40,9 @@ MODELS = [
     ("cait_s24_224", 128, {}),
     ("swin_base_patch4_window7_224", 64, {}),
     ("resnet50", 256, {"convs": True}),
+    # Second conv-path datapoint: 2x-wide 3x3s (128-1024) sit deeper in
+    # the measured win region than resnet50's (128-512).
+    ("wide_resnet50_2", 128, {"convs": True}),
 ]
 
 
