@@ -427,6 +427,25 @@ def test_stdconv_quantized_falls_back_to_standardized_float():
     assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-3) < 0.02
 
 
+def test_resnet_fc_head_never_quantized():
+    """timm names the classic-CNN classifier head exactly "fc" (ResNet's
+    is a TOP-LEVEL "fc", not under "head") — it must stay float under
+    both the default and the convs=True path, while fc1/fc2 MLP positions
+    remain convertible (the exact-match rule must not shadow them)."""
+    rng = jax.random.PRNGKey(7)
+    tree = {
+        "fc": {"kernel": jax.random.normal(rng, (512, 1000))},
+        "blocks": {"0": {"mlp": {
+            "fc1": {"kernel": jax.random.normal(rng, (512, 2048))},
+            "fc2": {"kernel": jax.random.normal(rng, (2048, 512))},
+        }}},
+    }
+    qp = quantize_int8(tree, convs=True)
+    assert "kernel" in qp["fc"] and "kernel_q" not in qp["fc"]
+    assert "kernel_q" in qp["blocks"]["0"]["mlp"]["fc1"]
+    assert "kernel_q" in qp["blocks"]["0"]["mlp"]["fc2"]
+
+
 def test_resnet_conv_quant_forward_close():
     """End-to-end: a ResNet test model quantized with convs=True stays
     close to its float forward and actually converts its wide 3x3s."""

@@ -202,7 +202,10 @@ def quantize_int8(params, *, min_features: int = 256,
     (1, 1, in, out) conv kernel at a ConvMLP position (path ends in
     ``fc1``/``fc2``; a 1x1 conv is a matmul) — whose channel dims are both
     >= ``min_features`` and no component of its tree path contains a
-    substring from ``skip``. The kernel is replaced by ``kernel_q`` (int8,
+    substring from ``skip`` (plus one exact-match rule: a dict named
+    exactly ``fc`` — timm's classic-CNN classifier-head name — is never
+    converted; a substring entry can't express that without also matching
+    the fc1/fc2 MLP positions). The kernel is replaced by ``kernel_q`` (int8,
     always stored (in, out)) + ``kernel_scale`` (float32, per output
     channel); biases and all other leaves are untouched. ``Dense.__call__``
     and ``Conv2d.__call__`` dispatch on ``kernel_q``.
@@ -228,6 +231,16 @@ def quantize_int8(params, *, min_features: int = 256,
         if "kernel_lora_a" in d:
             # LoRA layers read p["kernel"] directly (the low-rank update
             # adds onto it); quantize after merge_lora_weights instead.
+            return False
+        if path and path[-1] == "fc":
+            # timm names classic-CNN classifier heads exactly "fc"
+            # (ResNet's top-level fc; ClassifierHead/ResNetV2/ConvNeXt
+            # store theirs as head/fc, caught by "head" below). A
+            # substring entry can't express this without also matching
+            # fc1/fc2, so it's an exact-match rule. The only non-head
+            # exact-"fc" dicts are PiT's 1-2-cls-token pooling Dense and
+            # EmbeddingModel's metric-learning projection — both
+            # accuracy-sensitive and negligible FLOPs, right to skip.
             return False
         if k.ndim == 4 and (k.shape[0] != 1 or k.shape[1] != 1):
             # KxK conv: opt-in, win-region thresholds (see docstring).
