@@ -43,6 +43,10 @@ MODELS = [
     # Second conv-path datapoint: 2x-wide 3x3s (128-1024) sit deeper in
     # the measured win region than resnet50's (128-512).
     ("wide_resnet50_2", 128, {"convs": True}),
+    # Best-case conv family: nearly all of VGG's FLOPs are wide 3x3s
+    # (10 of vgg16's 13 convs clear the threshold; no residual streams,
+    # no BN-suppression caveat in the drift).
+    ("vgg16", 128, {"convs": True}),
 ]
 
 
