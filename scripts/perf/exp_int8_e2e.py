@@ -47,6 +47,9 @@ MODELS = [
     # (10 of vgg16's 13 convs clear the threshold; no residual streams,
     # no BN-suppression caveat in the drift).
     ("vgg16", 128, {"convs": True}),
+    # SE-composition probe: same 13 3x3s as resnet50 convert while the
+    # SE fc1/fc2 sigmoid gates stay float (the orientation rule).
+    ("seresnet50", 256, {"convs": True}),
 ]
 
 
